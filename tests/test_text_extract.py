@@ -1,0 +1,116 @@
+"""Unit tests of the text-extraction contract (pure Python, no Spark)."""
+
+import os
+
+import pytest
+
+from coap_rfc_knowledge_graph_spark.functions.text_extract import (
+    RFC_HEADINGS,
+    clean_spec_lines,
+    clean_spec_sentences,
+    decode_pdf,
+    extract_document,
+    extract_rfc_sentences,
+    extract_web_sentences,
+    sent_tokenize,
+    strip_html,
+)
+
+DATA = "/root/reference/data"
+
+
+def test_sent_tokenize_basic():
+    text = "The server MUST reply. The client MAY retry! Is that so? Yes."
+    assert sent_tokenize(text) == [
+        "The server MUST reply.",
+        "The client MAY retry!",
+        "Is that so?",
+        "Yes.",
+    ]
+
+
+def test_sent_tokenize_abbreviations_and_numbers():
+    text = "See Section 4.2 for details, e.g. the Token field. Values up to 65535 are valid."
+    out = sent_tokenize(text)
+    assert len(out) == 2
+    assert out[0].endswith("Token field.")
+
+
+def test_sent_tokenize_initials():
+    out = sent_tokenize("Written by B. Frank. The spec is final.")
+    assert out == ["Written by B. Frank.", "The spec is final."]
+
+
+@pytest.mark.parametrize("name", ["rfc7252", "rfc7959", "rfc8613", "rfc8974"])
+def test_rfc_extraction_shape(name):
+    author, heading = RFC_HEADINGS[name]
+    raw = open(os.path.join(DATA, f"{name}.txt"), encoding="utf-8").read()
+    sents = extract_rfc_sentences(raw, author, heading)
+    assert len(sents) > 100
+    # P1: no heading boilerplate survives
+    assert not any(heading in s for s in sents)
+    # P3/P5 guarantees
+    for s in sents:
+        assert s != ""
+        assert "  " not in s  # collapsed spaces
+        assert not s.startswith(" ")
+        assert "- " not in s
+        assert "+---" not in s
+        assert any(c.isalpha() for c in s)
+        assert not ("Figure" in s and ":" in s)
+        assert not ("Table" in s and ":" in s)
+
+
+def test_rfc_extraction_deterministic():
+    raw = open(os.path.join(DATA, "rfc7252.txt"), encoding="utf-8").read()
+    a = extract_rfc_sentences(raw, "Shelby, et al.", "RFC 7252")
+    b = extract_rfc_sentences(raw, "Shelby, et al.", "RFC 7252")
+    assert a == b
+
+
+def test_rfc_extraction_overlap_with_reference_corpus():
+    """Our Punkt-like splitter vs the frozen nltk output of the reference
+    (data/pretrain_sentences.txt block 1 = rfc7252): sanity floor on
+    agreement. Full byte parity is impossible without nltk; the enforced
+    byte-identical contract is Spark-vs-in-process (test_sentences_spark)."""
+    raw = open(os.path.join(DATA, "rfc7252.txt"), encoding="utf-8").read()
+    ours = extract_rfc_sentences(raw, "Shelby, et al.", "RFC 7252")
+    ref_block = open(os.path.join(DATA, "pretrain_sentences.txt"), encoding="utf-8").read().split("\n\n")[0]
+    ref = set(ref_block.split("\n"))
+    overlap = sum(1 for s in ours if s in ref)
+    assert overlap / len(ours) > 0.75
+
+
+def test_clean_spec_lines_page_numbers_and_prefixes():
+    lines = ["  12 The packet MUST be sent  ", "mqtt-v5.0-os", "-----", "Standards Track Work Product x", "Plain line"]
+    out = clean_spec_lines(lines, drop_prefixes=("mqtt-v5", "Standards Track Work Product"))
+    assert out == ["The packet MUST be sent", "Plain line"]
+
+
+def test_clean_spec_sentences():
+    out = clean_spec_sentences(
+        ["  A  B\nC  ", "123456", "see Figure 3", "<field x>", "ok"],
+        drop_contains=("Figure",),
+        drop_startswith=("<field",),
+    )
+    assert out == ["A B C", "ok"]
+
+
+def test_strip_html_and_web_path():
+    html = b"<html><head><style>x{}</style></head><body><p>The server MUST reply.</p><p>Done now.</p></body></html>"
+    text = strip_html(html)
+    sents = extract_web_sentences(text)
+    assert sents == ["The server MUST reply.", "Done now."]
+
+
+def test_extract_document_routing():
+    raw = open(os.path.join(DATA, "rfc7252.txt"), encoding="utf-8").read()
+    via_doc = extract_document("https://spec.example/rfc7252", None, raw, "en")
+    direct = extract_rfc_sentences(raw, "Shelby, et al.", "RFC 7252")
+    assert via_doc == direct
+    assert extract_document("https://x/y", None, None, "en") == []
+
+
+def test_decode_pdf_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_pdf(b"%PDF-1.4")
