@@ -1,0 +1,431 @@
+"""N1-N5: entity linking + canonicalization (SURVEY §2.4).
+
+Reference semantics (studied, not copied):
+- N1 surface dedup + lowercase: ``src/CoAP_contradiction_checking.py:261-267``
+- N2 PhraseBERT embedding of distinct surfaces: ``:269-271``
+- N3 greedy pairwise-cosine clustering, threshold 0.9, first-seen-wins
+  with chained overwrites over the ORIGINAL similarity matrix: ``:273-280``
+- N4 mention -> canonical top-1 cosine link: ``:301-312``
+- N5 per-entity variable grouping at 0.9 + representative rewrite:
+  ``:380-441``
+
+Spark shape
+-----------
+The canonical dictionary is always built from *distinct* surfaces, so the
+expensive O(n^2)/model work runs on a table many orders of magnitude
+smaller than the mentions table. Two candidate-pair generators share one
+greedy resolver:
+
+- ``candidate_pairs_bruteforce`` — broadcast the (small) distinct-surface
+  embedding matrix to every partition and score each row against it with
+  one vectorized numpy matmul. Right when n_distinct fits in executor
+  memory (tens of millions of 64-d vectors ~= GBs).
+- ``candidate_pairs_lsh`` — random-hyperplane signatures banded into
+  ``bands`` buckets; an equi-join on (band, band_bits) yields candidate
+  pairs; exact cosine (native ``zip_with``/``aggregate``, stays in
+  codegen) filters to the 0.9 threshold. This is the 10^12-scale path:
+  the only shuffle is on band keys, and band width tunes recall/cost.
+
+Greedy first-wins resolution is NOT connected components: the reference
+assigns ``entities[j] = entities[max qualifying i]`` (last write wins)
+and chains through earlier overwrites. That is a functional forest with
+``parent(j) < j``; we resolve it distributed by pointer-doubling
+(log-depth rounds of self-joins) — deterministic given the first-seen
+ordering, which we pin as lexicographic (url, sent_id, begin) of first
+occurrence.
+
+The N4 link join back to mentions is a broadcast equi-join on the
+deduped surface (no shuffle of the big side). When the dictionary is too
+large to broadcast, ``salted_top1_join`` implements the north rule's
+salted shuffle join for head-entity skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..config import EMBED_DIM, SIMILARITY_THRESHOLD
+from ..functions import stub_models
+
+# --- N2: embedding UDF --------------------------------------------------------
+
+
+@pandas_udf(T.ArrayType(T.FloatType()))
+def embed_udf(surfaces: pd.Series) -> pd.Series:
+    """PhraseBERT stand-in (``src/CoAP_contradiction_checking.py:269-271``).
+    Swap point: broadcast sentence-transformer checkpoint, encode the
+    Arrow batch in one forward pass."""
+    return pd.Series(stub_models.embed_batch(list(surfaces)))
+
+
+# --- N1: distinct surfaces with deterministic first-seen order ----------------
+
+
+def distinct_surfaces(mentions: DataFrame) -> DataFrame:
+    """mentions -> surfaces(surface, first_seen) — N1's
+    ``list(set(lower(e)))`` as a hash aggregate, plus a deterministic
+    first-seen key replacing Python set iteration order. One shuffle
+    (partial aggregation map-side)."""
+    return (
+        mentions.select(
+            F.lower(F.col("surface")).alias("surface"),
+            F.struct("url", "sent_id", "begin").alias("pos"),
+        )
+        .groupBy("surface")
+        .agg(F.min("pos").alias("first_seen"))
+    )
+
+
+def embedded_surfaces(surfaces: DataFrame) -> DataFrame:
+    """surfaces + idx (first-seen rank, the reference's list index) + vec.
+
+    The global rank is a single total-order window — acceptable because
+    this runs on the *distinct-surface* table (dictionary-sized, not
+    corpus-sized). At extreme dictionary sizes switch to
+    ``zipWithIndex``-style per-partition offsets.
+    """
+    w = Window.orderBy("first_seen", "surface")
+    return surfaces.withColumn("idx", F.row_number().over(w) - 1).withColumn(
+        "vec", embed_udf(F.col("surface"))
+    )
+
+
+# --- candidate pair generation ------------------------------------------------
+
+
+def candidate_pairs_bruteforce(embedded: DataFrame, threshold: float = SIMILARITY_THRESHOLD) -> DataFrame:
+    """All (i < j, cos > threshold) pairs via a broadcast matrix + one
+    numpy matmul per Arrow batch. Output: pairs(i, j, sim)."""
+    rows = embedded.select("idx", "vec").collect()  # dictionary-sized
+    n = len(rows)
+    mat = np.zeros((n, EMBED_DIM), dtype=np.float32)
+    for r in rows:
+        mat[r["idx"]] = r["vec"]
+    spark = embedded.sparkSession
+    bmat = spark.sparkContext.broadcast(mat)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = bmat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf["vec"].to_numpy())  # (b, d)
+            sims = vecs @ m.T  # (b, n) — inputs L2-normalized
+            out_i, out_j, out_s = [], [], []
+            for row_pos, i in enumerate(pdf["idx"]):
+                js = np.nonzero(sims[row_pos] > threshold)[0]
+                js = js[js > i]
+                out_i.extend([int(i)] * len(js))
+                out_j.extend(int(j) for j in js)
+                out_s.extend(float(sims[row_pos, j]) for j in js)
+            yield pd.DataFrame({"i": pd.array(out_i, dtype="int64"),
+                                "j": pd.array(out_j, dtype="int64"),
+                                "sim": pd.array(out_s, dtype="float64")})
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("j", T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+    ])
+    return embedded.select("idx", "vec").mapInPandas(score, schema)
+
+
+def _rand_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def with_lsh_bands(embedded: DataFrame, bands: int = 16, rows_per_band: int = 4, seed: int = 7) -> DataFrame:
+    """Attach (band, sig) columns: sign-of-projection bits against
+    ``bands*rows_per_band`` random hyperplanes, packed per band. Rows in
+    the same (band, sig) bucket are candidate near-neighbours (random
+    hyperplane LSH ~ SimHash; collision prob per bit = 1 - theta/pi)."""
+    planes = _rand_planes(EMBED_DIM, bands * rows_per_band, seed)
+    spark = embedded.sparkSession
+    bplanes = spark.sparkContext.broadcast(planes)
+    nb, rpb = bands, rows_per_band
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        p = bplanes.value
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs]) if len(vecs) else np.zeros((0, EMBED_DIM))
+        bits = (mat @ p.T) > 0  # (batch, nb*rpb)
+        weights = 1 << np.arange(rpb, dtype=np.int64)
+        sigs = bits.reshape(len(vecs), nb, rpb) @ weights  # (batch, nb)
+        return pd.Series(list(sigs))
+
+    return embedded.withColumn("sigs", sig_udf(F.col("vec")))
+
+
+def candidate_pairs_lsh(
+    embedded: DataFrame,
+    threshold: float = SIMILARITY_THRESHOLD,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Scale path for N3: LSH-bucket equi-join -> exact-cosine verify.
+
+    The join key is (band, band_sig); the exact cosine re-check runs
+    native (``zip_with`` + ``aggregate`` — whole-stage codegen, no
+    Python). Pairs found in multiple bands are deduped by (i, j).
+    """
+    sig = with_lsh_bands(embedded, bands, rows_per_band, seed)
+    sig = sig.select("idx", "vec", F.posexplode("sigs").alias("band", "sig"))
+    a = sig.select(F.col("idx").alias("i"), F.col("vec").alias("va"), "band", "sig")
+    b = sig.select(F.col("idx").alias("j"), F.col("vec").alias("vb"), "band", "sig")
+    pairs = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "va", "vb")
+        .dropDuplicates(["i", "j"])
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.withColumn("sim", dot.cast("double"))
+        .filter(F.col("sim") > threshold)
+        .select("i", "j", "sim")
+    )
+
+
+# --- N3: greedy first-wins resolution (distributed pointer chase) -------------
+
+
+def resolve_greedy(pairs: DataFrame, embedded: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Emulates ``entities[j] = entities[i]`` chained overwrites exactly:
+    parent(j) = max{i < j : sim(i,j) > t}; rep(j) = rep(parent(j)).
+
+    Pointer-doubling: each round joins the current pointer table to
+    itself, halving remaining chain depth — O(log depth) shuffles on the
+    dictionary-sized table. Returns canonical(idx, canon_idx).
+    """
+    parents = pairs.groupBy("j").agg(F.max("i").alias("parent"))
+    ptr = (
+        embedded.select("idx")
+        .join(parents, embedded["idx"] == parents["j"], "left")
+        .select("idx", F.coalesce("parent", "idx").alias("ptr"))
+    )
+    ptr = ptr.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nxt = ptr.select(F.col("idx").alias("p_idx"), F.col("ptr").alias("p_ptr"))
+        ptr2 = (
+            ptr.join(nxt, ptr["ptr"] == nxt["p_idx"])
+            .select("idx", F.col("p_ptr").alias("ptr"))
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        stable = (
+            ptr2.join(ptr.select(F.col("idx").alias("i0"), F.col("ptr").alias("old")), ptr2["idx"] == F.col("i0"))
+            .filter(F.col("ptr") != F.col("old"))
+            .isEmpty()
+        )
+        ptr = ptr2
+        if stable:
+            break
+    return ptr.select("idx", F.col("ptr").alias("canon_idx"))
+
+
+def _build_canonical(mentions: DataFrame, use_lsh: bool = False, **lsh_kw):
+    """Full N1->N3 chain. Returns (entities, members):
+    entities(entity_id, canonical, vec) — one row per canonical surface,
+    ``entity_id`` = the canonical surface's first-seen index (stable);
+    members(entity_id, member_idx, surface) — every surface's assignment.
+    """
+    emb = embedded_surfaces(distinct_surfaces(mentions)).persist()
+    pairs = candidate_pairs_lsh(emb, **lsh_kw) if use_lsh else candidate_pairs_bruteforce(emb)
+    resolved = resolve_greedy(pairs, emb)
+    members = (
+        emb.select("idx", "surface")
+        .join(resolved, on="idx")
+        .select(F.col("canon_idx").alias("entity_id"), F.col("idx").alias("member_idx"), "surface")
+    )
+    reps = emb.select(F.col("idx").alias("entity_id"), F.col("surface").alias("canonical"), "vec")
+    entities = members.select("entity_id").distinct().join(reps, on="entity_id")
+    return entities, members
+
+
+def canonical_entities(mentions: DataFrame, use_lsh: bool = False, **lsh_kw) -> DataFrame:
+    """mentions -> entities(entity_id long, canonical string, vec)."""
+    entities, _ = _build_canonical(mentions, use_lsh=use_lsh, **lsh_kw)
+    return entities
+
+
+def surface_to_entity(mentions: DataFrame, use_lsh: bool = False, **lsh_kw) -> DataFrame:
+    """Map each distinct (lowercased) surface to its canonical entity:
+    surface_map(surface, entity_id, canonical)."""
+    entities, members = _build_canonical(mentions, use_lsh=use_lsh, **lsh_kw)
+    return (
+        members.join(entities.select("entity_id", "canonical"), on="entity_id")
+        .select("surface", "entity_id", "canonical")
+    )
+
+
+# --- N4: top-1 cosine link (broadcast + salted variants) ----------------------
+
+
+def link_surfaces(query_surfaces: DataFrame, entities: DataFrame, surface_col: str = "surface") -> DataFrame:
+    """Top-1 cosine link of arbitrary query surfaces against the canonical
+    dictionary (``src/CoAP_contradiction_checking.py:301-312``: encode,
+    argmax over canonical vectors, take top entity).
+
+    Runs on DISTINCT query surfaces (caller dedups) against a broadcast
+    canonical matrix — one numpy matmul per Arrow batch, no shuffle.
+    Output: (surface, entity_id, canonical, sim).
+    """
+    ents = entities.select("entity_id", "canonical", "vec").collect()
+    n = len(ents)
+    mat = np.zeros((max(n, 1), EMBED_DIM), dtype=np.float32)
+    ids = np.zeros(max(n, 1), dtype=np.int64)
+    names: list[str] = [""] * max(n, 1)
+    for k, r in enumerate(sorted(ents, key=lambda r: r["entity_id"])):
+        mat[k] = r["vec"]
+        ids[k] = r["entity_id"]
+        names[k] = r["canonical"]
+    spark = query_surfaces.sparkSession
+    b = spark.sparkContext.broadcast((mat, ids, names))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m, eid, enames = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(stub_models.embed_batch(list(pdf[surface_col]))).astype(np.float32)
+            sims = vecs @ m.T
+            top = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "surface": pdf[surface_col].astype(str),
+                    "entity_id": eid[top],
+                    "canonical": [enames[t] for t in top],
+                    "sim": sims[np.arange(len(top)), top].astype(np.float64),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("surface", T.StringType()),
+            T.StructField("entity_id", T.LongType()),
+            T.StructField("canonical", T.StringType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    return query_surfaces.select(F.col(surface_col)).distinct().mapInPandas(score, schema)
+
+
+def link_mentions(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+    """mentions -> linked mentions(url, sent_id, begin, end, surface,
+    entity_id, canonical). The argmax runs per DISTINCT surface; the
+    join-back to the corpus-sized mentions table is a **broadcast**
+    equi-join (the surface map is dictionary-sized) — zero shuffle of the
+    big side, which is how head-entity skew is neutralised on the normal
+    path. ``salted_top1_join`` covers the can't-broadcast case."""
+    qs = mentions.select(F.lower(F.col("surface")).alias("q_surface"))
+    linked = link_surfaces(qs, entities, surface_col="q_surface")
+    return mentions.join(
+        F.broadcast(linked.withColumnRenamed("surface", "q_surface")),
+        on=F.lower(mentions["surface"]) == F.col("q_surface"),
+    ).drop("q_surface")
+
+
+def salted_top1_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    order_col: str,
+    salt_buckets: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """North-rule salted join: top-1 row of ``small`` per ``key`` joined to
+    a skewed ``big`` table WITHOUT broadcasting and without one reducer
+    absorbing a head key.
+
+    big is salted with ``pmod(hash(rand), S)``; small is replicated S
+    ways (explode over a literal salt array); the equi-join key becomes
+    (key, salt) so a head key's rows spread over S reducers. The top-1
+    reduction over ``small`` happens BEFORE replication (dictionary-sized
+    window), so the join itself is 1:1 per (key, salt).
+    """
+    w = Window.partitionBy(key).orderBy(F.desc(order_col))
+    top1 = small.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    salts = F.array(*[F.lit(s) for s in range(salt_buckets)])
+    top1_rep = top1.withColumn("__salt", F.explode(salts))
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.hash(F.monotonically_increasing_id(), F.lit(seed)), F.lit(salt_buckets))
+    )
+    return big_salted.join(top1_rep, on=[key, "__salt"]).drop("__salt")
+
+
+# --- N5: per-entity variable canonicalization (grouped map) -------------------
+
+_VAR_GROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_id", T.LongType()),
+        T.StructField("var", T.StringType()),
+        T.StructField("canonical_var", T.StringType()),
+    ]
+)
+
+
+def canonicalize_variables(entity_vars: DataFrame) -> DataFrame:
+    """(entity_id, var) -> (entity_id, var, canonical_var).
+
+    Reference N5 (``src/CoAP_contradiction_checking.py:380-441``): within
+    one entity, group variables whose embeddings exceed 0.9 cosine
+    (greedy group-accretion in pair order) and rewrite each to the group
+    representative. The reference picks ``random.choice`` under seed 4;
+    we pick the lexicographically smallest member — deterministic under
+    any partitioning (documented divergence, FIXTURES.md §4).
+
+    Spark shape: ``groupBy(entity_id).applyInPandas`` — each group is one
+    entity's distinct variables (small); grouped-map keeps the O(k^2)
+    inside a vectorized batch.
+    """
+
+    def per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
+        variables = sorted(set(pdf["var"]))
+        vecs = np.asarray(stub_models.embed_batch(variables), dtype=np.float32)
+        sims = vecs @ vecs.T
+        groups: list[list[str]] = []
+        k = len(variables)
+        for i in range(k):
+            for j in range(i + 1, k):
+                if sims[i, j] > SIMILARITY_THRESHOLD:
+                    vi, vj = variables[i], variables[j]
+                    added = False
+                    for g in groups:
+                        if vi in g and vj not in g:
+                            g.append(vj)
+                            added = True
+                        elif vj in g and vi not in g:
+                            g.append(vi)
+                            added = True
+                        elif vi in g and vj in g:
+                            added = True
+                    if not added:
+                        groups.append([vi, vj])
+        rewrite: dict[str, str] = {}
+        for g in groups:
+            rep = min(g)
+            for v in g:
+                rewrite[v] = rep
+        eid = pdf["entity_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "entity_id": [eid] * k,
+                "var": variables,
+                "canonical_var": [rewrite.get(v, v) for v in variables],
+            }
+        )
+
+    distinct_vars = entity_vars.select("entity_id", "var").distinct()
+    return distinct_vars.groupBy("entity_id").applyInPandas(per_entity, _VAR_GROUP_SCHEMA)

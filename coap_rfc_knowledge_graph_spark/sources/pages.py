@@ -97,7 +97,12 @@ def _gen_batch(ids: np.ndarray, seed: int, skew_frac: float) -> pd.DataFrame:
                 words.insert(0, _HEAD_ENTITY)
             else:
                 words[0] = words[0].capitalize()
-            sents.append(" ".join(words) + ".")
+            sent = " ".join(words) + "."
+            # ~20% conditional sentences: exercise the condition splitter,
+            # antecedent/consequent rules and the condition-edge join
+            if rng.random() < 0.2:
+                sent = f"When the value is set to {int(rng.integers(0, 9))}, the " + sent[0].lower() + sent[1:]
+            sents.append(sent)
         texts.append(" ".join(sents))
     urls = [f"https://crawl.example/p/{int(i)}" for i in ids]
     ts = pd.to_datetime(1704067200 + (ids % 864000), unit="s")

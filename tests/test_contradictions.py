@@ -1,0 +1,130 @@
+"""Q1-Q7 contradiction checks on hand-built rule tables with known
+outcomes, plus an end-to-end pipeline smoke on synthetic pages."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coap_rfc_knowledge_graph_spark.operators.contradictions import (
+    check_conditional,
+    check_direct_type1,
+    check_direct_type2,
+    check_direct_type3,
+    check_entity_contradiction,
+    check_single_rule_contradiction,
+    literal_overlap,
+)
+
+_RULES_SCHEMA = (
+    "url string, sent_id int, rule_num int, clause_id int, condition string, "
+    "entity_id long, canonical string, sentence string, "
+    "atoms array<struct<var:string,op:string,value_num:double>>, "
+    "connective string, level string, rule_number int, rule_id string"
+)
+
+
+def _rule(url, rule_num, clause_id, condition, eid, name, atoms, connective="AND", n=1):
+    return (
+        url, rule_num * 10, rule_num, clause_id, condition, eid, name,
+        f"sentence {rule_num}", atoms, connective, "STRONG", n, f"{name} rule {n}",
+    )
+
+
+@pytest.fixture(scope="module")
+def rules_df(spark):
+    rows = [
+        # entity 1 "server": two directly contradicting unconditional rules
+        _rule("u", 0, 0, "Entity rule", 1, "server", [("value", "=", 1.0)], n=1),
+        _rule("u", 1, 0, "Entity rule", 1, "server", [("value", "=", 2.0)], n=2),
+        # entity 2 "token": self-contradictory single rule
+        _rule("u", 2, 0, "Entity rule", 2, "token", [("value", ">", 5.0), ("value", "<", 5.0)], n=1),
+        # entity 3 "client": consistent rules
+        _rule("u", 3, 0, "Entity rule", 3, "client", [("value", ">", 0.0)], n=1),
+        _rule("u", 4, 0, "Entity rule", 3, "client", [("value", "<", 10.0)], n=2),
+        # entity 4 "option": entity rule contradicts a consequent rule;
+        # plus an antecedent rule for conditional checks
+        _rule("u", 5, 0, "Entity rule", 4, "option", [("error", "=", 7.0)], n=1),
+        _rule("u", 6, 0, "Antecedent rule", 4, "option", [("state", "=", 1.0)], n=2),
+        _rule("u", 6, 1, "Consequent rule", 4, "option", [("error", "=", 8.0)], n=3),
+    ]
+    return spark.createDataFrame(rows, _RULES_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def flagged(spark, rules_df):
+    return check_entity_contradiction(rules_df).persist()
+
+
+def test_q1_flags_expected_entities(flagged):
+    names = {r["canonical"] for r in flagged.collect()}
+    assert names == {"server", "token", "option"}
+
+
+def test_q2_single_rule(rules_df, flagged):
+    got = {r["rule_id"] for r in check_single_rule_contradiction(rules_df, flagged).collect()}
+    assert got == {"token rule 1"}
+
+
+def test_q3_direct_type1(rules_df, flagged):
+    got = {(r["rule_a"], r["rule_b"]) for r in check_direct_type1(rules_df, flagged).collect()}
+    assert got == {("server rule 1", "server rule 2")}
+
+
+def test_q3_exclusion_of_single_rule_contradictions(rules_df, flagged):
+    bad = check_single_rule_contradiction(rules_df, flagged)
+    got = check_direct_type1(rules_df, flagged, exclude_rules=bad).collect()
+    assert {(r["rule_a"], r["rule_b"]) for r in got} == {("server rule 1", "server rule 2")}
+
+
+def test_q4_direct_type2(rules_df, flagged):
+    got = {(r["canonical"], r["rule_a"], r["rule_b"]) for r in check_direct_type2(rules_df, flagged).collect()}
+    assert got == {("option", "option rule 1", "option rule 3")}
+
+
+def test_q5_direct_type3(spark, rules_df):
+    # two consequents of one antecedent that contradict each other
+    edges = spark.createDataFrame(
+        [
+            ("option rule 2", "option rule 1", "condition"),
+            ("option rule 2", "option rule 3", "condition"),
+        ],
+        "src string, dst string, relation string",
+    )
+    got = {(r["rule_a"], r["rule_b"]) for r in check_direct_type3(rules_df, edges).collect()}
+    assert got == {("option rule 1", "option rule 3")}
+
+
+def test_q6_conditional_no_false_positive(rules_df, flagged):
+    # option's entity rule (error=7) vs antecedent rule (state=1): sat together
+    assert check_conditional(rules_df, flagged).count() == 0
+
+
+def test_q7_literal_overlap(rules_df):
+    got = {(r["rule_a"], r["rule_b"], r["var"]) for r in literal_overlap(rules_df).collect()}
+    assert ("server rule 1", "server rule 2", "value") in got
+    assert ("option rule 1", "option rule 3", "error") in got
+    # no cross-entity pairs
+    assert all(a.split(" rule")[0] == b.split(" rule")[0] for a, b, _ in got)
+
+
+def test_pipeline_end_to_end(spark):
+    from coap_rfc_knowledge_graph_spark.plans.pipeline import (
+        canonical_triples,
+        extract_stage,
+        rules_stage,
+        query_stage,
+    )
+    from coap_rfc_knowledge_graph_spark.sources.pages import synthetic_pages
+
+    pages = synthetic_pages(spark, 20, seed=3)
+    res = query_stage(rules_stage(extract_stage(pages, url_partitions=4)))
+    assert res.rules.count() > 0
+    assert res.nodes.count() > 0
+    assert res.edges.filter(F.col("relation") == "condition").count() > 0
+    ct = canonical_triples(res)
+    assert ct.count() == res.triples.count()
+    assert set(ct.columns) == {"subj_id", "subj", "pred", "obj_id", "obj", "url", "sent_id"}
+    # findings are computable (values depend on synthetic corpus content)
+    for name, df in res.findings.items():
+        assert df.count() >= 0, name

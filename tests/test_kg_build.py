@@ -1,0 +1,313 @@
+"""Tests for linking (N1-N5), property parsing (N6), rule build (N7-N10)
+and the contradiction checks (Q1-Q7).
+
+The N6 test pins the Spark when-chain against an in-process Python oracle
+that re-states the reference's ``extract_properties`` semantics
+(``/root/reference/src/CoAP_contradiction_checking.py:26-202``) —
+branch-for-branch, written from the studied behaviour, not copied.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from coap_rfc_knowledge_graph_spark.functions import stub_models
+from coap_rfc_knowledge_graph_spark.functions.solver import check_sat
+from coap_rfc_knowledge_graph_spark.operators.linking import (
+    candidate_pairs_bruteforce,
+    candidate_pairs_lsh,
+    canonical_entities,
+    distinct_surfaces,
+    embedded_surfaces,
+    link_surfaces,
+    resolve_greedy,
+    salted_top1_join,
+)
+from coap_rfc_knowledge_graph_spark.operators.properties import parse_atomic_rules
+from coap_rfc_knowledge_graph_spark.operators.rules import (
+    build_edges,
+    build_rules,
+    encode_values,
+    value_dictionary,
+)
+
+# --- solver unit tests (no Spark) --------------------------------------------
+
+
+def test_solver_simple_conjunction_sat():
+    assert check_sat([("AND", [("x", ">", 1.0), ("x", "<", 5.0)])])
+    assert check_sat([("AND", [("x", "=", 3.0)]), ("AND", [("y", "=", 4.0)])])
+
+
+def test_solver_direct_contradiction():
+    assert not check_sat([("AND", [("x", "=", 1.0)]), ("AND", [("x", "=", 2.0)])])
+    assert not check_sat([("AND", [("x", ">", 5.0), ("x", "<", 5.0)])])
+    assert not check_sat([("AND", [("x", ">=", 5.0), ("x", "<", 5.0)])])
+    assert check_sat([("AND", [("x", ">=", 5.0), ("x", "<=", 5.0)])])
+    assert not check_sat([("AND", [("x", ">=", 5.0), ("x", "<=", 5.0), ("x", "!=", 5.0)])])
+
+
+def test_solver_neq_on_open_interval_is_sat():
+    assert check_sat([("AND", [("x", ">", 0.0), ("x", "<", 1.0), ("x", "!=", 0.5)])])
+
+
+def test_solver_or_branching():
+    # (x=1 or x=2) and x!=1 and x!=2 -> unsat
+    assert not check_sat(
+        [("OR", [("x", "=", 1.0), ("x", "=", 2.0)]), ("AND", [("x", "!=", 1.0), ("x", "!=", 2.0)])]
+    )
+    # (x=1 or x=2) and x!=1 -> sat (x=2)
+    assert check_sat([("OR", [("x", "=", 1.0), ("x", "=", 2.0)]), ("AND", [("x", "!=", 1.0)])])
+
+
+def test_solver_multi_var_independence():
+    assert check_sat([("AND", [("x", "=", 1.0), ("y", "=", 2.0), ("z", ">", 100.0)])])
+
+
+# --- N6 oracle ----------------------------------------------------------------
+
+
+def _oracle_extract_properties(behaviour: str):
+    """In-process restatement of the reference grammar (studied semantics)."""
+    behaviour = behaviour.strip()
+    bp = behaviour.split("=")[0].strip()
+    sentiment = behaviour.split("=")[1].strip()
+    w = lambda word: re.search(r"\b" + word + r"\b", bp)
+    eq = "=" if sentiment == "True" else "!="
+    nums = re.findall(r"\b\d+\b", bp)
+    if w("set") and w("to"):
+        return [("value", eq, bp[w("to").end():].strip())]
+    if w("unknown"):
+        return [("value", eq, "unknown")]
+    if w(r"\d+") and (w("and") or w("to")):
+        if len(nums) == 1:
+            return [("value", "=", nums[0])]
+        return [("value", ">", nums[0]), ("value", "<", nums[1])]
+    if w("Empty") or w("empty"):
+        return [("value", eq, "empty")]
+    if w("decreased") and w("below"):
+        return [("value", "<" if sentiment == "True" else ">=", bp[w("below").end():].strip())]
+    if w("class elective"):
+        return [("unrecognized option", eq, "elective")]
+    if w("class critical"):
+        return [("unrecognized option", eq, "critical")]
+    if (w("return") or w("returned")) and w("response"):
+        return [("value", eq, ".".join(nums))]
+    if w("Response Code"):
+        return [("value", eq, ".".join(nums) or "error")]
+    if w("error code"):
+        return [("value", eq, ".".join(nums) or "error")]
+    if w("default value"):
+        return [("value", eq, "default")]
+    if w("value") and w("be"):
+        return [("value", eq, bp[w("be").end():].strip())]
+    if w("ignored"):
+        return [("error", eq, "ignore")]
+    if w("ignore"):
+        return [("error", eq, "ignore")]
+    if w("message format error"):
+        return [("error", eq, "message format error")]
+    if w("reject") and w("message"):
+        return [("error", eq, "reject message")]
+    if w("rejected"):
+        return [("error", eq, "reject")]
+    if w("Rejecting") and w("message"):
+        return [("error", eq, "reject message")]
+    if w("ICMP errors"):
+        return [("error", eq, "ICMP errors")]
+    if w("idempotent"):
+        return [("idempotent", "=", sentiment)]
+    return [(bp, "=", sentiment)]
+
+
+_BEHAVIOUR_CASES = [
+    "be set to 1 = True",
+    "be set to the payload marker = False",
+    "unknown version = True",
+    "Lengths 9 and 15 are reserved = True",
+    "be 9 to 15 = False",
+    "only 7 to = True",  # single number + 'to'
+    "be Empty = True",
+    "be empty = False",
+    "be decreased below 42 = True",
+    "be decreased below 42 = False",
+    "be of class elective = True",
+    "be of class critical = False",
+    "return a 4.04 response = True",
+    "returned response = False",  # no digits -> empty value string
+    "Response Code 4 04 = True",
+    "Response Code nothing = False",
+    "error code 5 00 = True",
+    "use the default value = True",
+    "value be 255 = False",
+    "be silently ignored = True",
+    "ignore the option = False",
+    "be processed as a message format error = True",
+    "reject the message = False",
+    "be rejected = True",
+    "Rejecting the message = True",
+    "cause ICMP errors = True",
+    "be idempotent = False",
+    "do something novel = True",  # fallback branch
+]
+
+
+def test_properties_grammar_matches_oracle(spark):
+    # one input row per case, distinguished by sent_id; compare per case
+    rows = [
+        ("u", i, 0, 0, True, "s", "Entity rule", f"server @ {b};")
+        for i, b in enumerate(_BEHAVIOUR_CASES)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, sent_id int, rule_num int, clause_id int, is_strong boolean, "
+        "sentence string, condition string, behaviours string",
+    )
+    got = parse_atomic_rules(df).orderBy("sent_id", "atom_id").collect()
+    by_case: dict[int, list] = {}
+    for r in got:
+        by_case.setdefault(r["sent_id"], []).append((r["var"], r["op"], r["value"]))
+        assert r["entity_surface"] == "server"
+    for i, b in enumerate(_BEHAVIOUR_CASES):
+        expect = _oracle_extract_properties(b)
+        assert by_case.get(i, []) == expect, f"behaviour {b!r}: spark={by_case.get(i)} oracle={expect}"
+
+
+def test_properties_malformed_atom_skipped(spark):
+    df = spark.createDataFrame(
+        [("u", 0, 0, 0, True, "s", "Entity rule", "no at-sign here = True;")],
+        "url string, sent_id int, rule_num int, clause_id int, is_strong boolean, "
+        "sentence string, condition string, behaviours string",
+    )
+    assert parse_atomic_rules(df).count() == 0
+
+
+# --- linking ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mention_df(spark):
+    rows = [
+        ("u1", 0, 1, 2, "Server"),
+        ("u1", 1, 1, 2, "server"),
+        ("u1", 2, 1, 2, "servers"),  # morphological variant -> merges
+        ("u1", 3, 1, 2, "Token"),
+        ("u2", 0, 1, 2, "token value"),
+        ("u2", 1, 1, 2, "completely different thing"),
+    ]
+    return spark.createDataFrame(rows, "url string, sent_id int, begin int, end int, surface string")
+
+
+def test_distinct_surfaces_lowercases_and_dedups(spark, mention_df):
+    got = distinct_surfaces(mention_df)
+    surfaces = {r["surface"] for r in got.collect()}
+    assert surfaces == {"server", "servers", "token", "token value", "completely different thing"}
+
+
+def test_greedy_clustering_merges_variants(spark, mention_df):
+    ents = canonical_entities(mention_df)
+    canon = {r["canonical"] for r in ents.collect()}
+    # servers merged into server (first-seen); token/token value distinct or merged per embedding
+    assert "server" in canon
+    assert "servers" not in canon
+
+
+def test_greedy_resolution_is_last_wins_chain(spark):
+    """Pin the exact first-wins/chained-overwrite shape: component
+    {0,1,2} with edges (0,2) then (1,2) only -> 2 follows 1 (max i), 0
+    stays its own cluster (the reference's semantics, NOT min-id
+    connected components)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, 0.7])],
+        "idx long, vec array<float>",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 2, 0.95), (1, 2, 0.95)], "i long, j long, sim double"
+    )
+    got = {r["idx"]: r["canon_idx"] for r in resolve_greedy(pairs, emb).collect()}
+    assert got == {0: 0, 1: 1, 2: 1}
+
+
+def test_lsh_pairs_recover_bruteforce_pairs(spark, mention_df):
+    emb = embedded_surfaces(distinct_surfaces(mention_df)).persist()
+    bf = {(r["i"], r["j"]) for r in candidate_pairs_bruteforce(emb).collect()}
+    lsh = {(r["i"], r["j"]) for r in candidate_pairs_lsh(emb, bands=24, rows_per_band=3).collect()}
+    # high-sim (>0.9) pairs should survive banding at these settings
+    assert bf <= lsh or bf == lsh or len(bf - lsh) == 0
+
+
+def test_link_surfaces_top1(spark, mention_df):
+    ents = canonical_entities(mention_df)
+    queries = spark.createDataFrame([("the server",), ("token",)], "surface string")
+    got = {r["surface"]: r["canonical"] for r in link_surfaces(queries, ents).collect()}
+    assert got["the server"] == "server"
+    assert got["token"] == "token"
+
+
+def test_salted_top1_join_correctness(spark):
+    import pyspark.sql.functions as SF
+
+    big = spark.range(1000).select(
+        SF.when(SF.col("id") % 10 == 0, "tail").otherwise("head").alias("k"), "id"
+    )
+    small = spark.createDataFrame(
+        [("head", 1, "h1"), ("head", 9, "h9"), ("tail", 5, "t5")],
+        "k string, score int, tag string",
+    )
+    got = salted_top1_join(big, small, key="k", order_col="score", salt_buckets=4)
+    rows = got.collect()
+    assert len(rows) == 1000
+    tags = {r["k"]: r["tag"] for r in rows}
+    assert tags == {"head": "h9", "tail": "t5"}
+
+
+# --- N7 + rules ---------------------------------------------------------------
+
+
+def test_value_dictionary_floats_and_ids(spark):
+    df = spark.createDataFrame(
+        [("1",), ("2.5",), ("empty",), ("default",), ("empty",)], "value string"
+    )
+    got = {r["value"]: r["value_num"] for r in value_dictionary(df).collect()}
+    assert got["1"] == 1.0 and got["2.5"] == 2.5
+    assert got["default"] == 999999.0  # lexicographic rank 1
+    assert got["empty"] == 1000000.0
+    assert len(got) == 4
+
+
+def test_build_rules_and_edges(spark):
+    atomic = spark.createDataFrame(
+        [
+            # one conditional sentence: antecedent clause + consequent clause
+            ("u", 10, 0, 0, True, "If x, the server MUST obey.", "Antecedent rule", "server", 0, "value", "=", "1", 7, "server", 1.0),
+            ("u", 10, 0, 1, True, "If x, the server MUST obey.", "Consequent rule", "server", 0, "value", "=", "2", 7, "server", 2.0),
+            # one unconditional
+            ("u", 20, 1, 0, False, "The server MAY retry.", "Entity rule", "server", 0, "error", "=", "ignore", 7, "server", 999999.0),
+        ],
+        "url string, sent_id int, rule_num int, clause_id int, is_strong boolean, sentence string, "
+        "condition string, entity_surface string, atom_id int, var string, op string, value string, "
+        "entity_id long, canonical string, value_num double",
+    ).withColumn("canonical_var", F.col("var"))
+    rules = build_rules(atomic)
+    rows = {r["rule_id"]: r for r in rules.collect()}
+    assert set(rows) == {"server rule 1", "server rule 2", "server rule 3"}
+    assert rows["server rule 1"]["condition"] == "Antecedent rule"
+    assert rows["server rule 1"]["level"] == "STRONG"
+    assert rows["server rule 3"]["level"] == "WEAK"
+    edges = build_edges(rules).collect()
+    rels = {(e["src"], e["dst"], e["relation"]) for e in edges}
+    assert ("server", "server rule 1", "rule") in rels
+    assert ("server rule 1", "server rule 2", "condition") in rels
+    assert len([e for e in edges if e["relation"] == "condition"]) == 1
+
+
+def test_encode_values_roundtrip(spark):
+    atomic = spark.createDataFrame(
+        [("a", "1"), ("b", "xyz")], "k string, value string"
+    )
+    got = {r["k"]: r["value_num"] for r in encode_values(atomic).collect()}
+    assert got["a"] == 1.0
+    assert got["b"] >= 999999.0
