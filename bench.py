@@ -1,0 +1,105 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "kg_construct_e2e", "value": <flagship sec>, "unit": "sec",
+   "queries": {...per-query sec + docs_per_sec...}, "sf": <sf>}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+The flagship metric is the end-to-end KG extraction (pages -> sentences
+-> mentions -> pairs -> triples) over the documents-as-pages corpus;
+docs_per_sec is the north-rule throughput number. Additional timed
+queries cover canonicalization, dedup families, ANN and the native text
+stage. Scaling evidence across two parallelism levels is produced by
+tools/bench_scaling.py (same job at local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from coap_rfc_knowledge_graph_spark.operators.dedup import (
+        dedup_exact,
+        minhash_lsh_pairs,
+        simhash_near_duplicates,
+    )
+    from coap_rfc_knowledge_graph_spark.operators.linking import canonical_entities
+    from coap_rfc_knowledge_graph_spark.operators.similarity import cosine_topk_matmul
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import quality_features
+    from coap_rfc_knowledge_graph_spark.plans.pipeline import extract_stage
+    from coap_rfc_knowledge_graph_spark.session import build_session
+    from coap_rfc_knowledge_graph_spark.sources.pages import pages_from_documents
+
+    spark = build_session(app_name="kg-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_docs = docs.count()
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # flagship: end-to-end triple extraction
+    pages = pages_from_documents(spark, sf_dir)
+    res_holder = {}
+
+    def run_extract():
+        res = extract_stage(pages, url_partitions=2 * cpus)
+        n = res.triples.count()
+        res_holder["res"] = res
+        return n
+
+    n_triples = timed("kg_triples", run_extract)
+    flagship = timings["kg_triples"]
+
+    timed("kg_entities", lambda: res_holder["res"].entities.count())
+    timed("dedup_exact", lambda: dedup_exact(docs).count())
+    timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs, threshold=0.5, num_hashes=32, bands=8).count())
+    timed("dedup_simhash", lambda: simhash_near_duplicates(docs, max_hamming=3).count())
+    queries = emb.filter(F.col("vec_id") < 32).select(F.col("vec_id").alias("query_id"), "embedding")
+    timed("ann_topk_matmul", lambda: cosine_topk_matmul(emb, queries, k=10).count())
+    timed("text_quality", lambda: quality_features(docs).agg(F.avg("quality_score")).collect())
+    timed(
+        "modal_context",
+        lambda: docs.filter(F.col("text").rlike(r"(?i)\b(must|stream|window)\b")).count(),
+    )
+
+    queries_out = dict(timings)
+    queries_out["docs_per_sec"] = round(n_docs / flagship, 2) if flagship else 0.0
+    queries_out["n_docs"] = n_docs
+    queries_out["n_triples"] = n_triples
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construct_e2e",
+                "value": flagship,
+                "unit": "sec",
+                "queries": queries_out,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

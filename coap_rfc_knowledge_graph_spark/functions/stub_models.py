@@ -41,6 +41,12 @@ _LEXICON = frozenset(
         "token", "response", "request", "endpoint", "payload", "packet",
         "field", "value", "version", "code", "header", "broker", "session",
         "topic", "frame", "channel", "link", "connection",
+        # web-corpus nouns so the linking stages stay non-trivial on the
+        # synthetic documents/pages tables (a real NER model generalizes;
+        # the stub needs its vocabulary spelled out)
+        "table", "row", "column", "key", "query", "window", "stream",
+        "vector", "batch", "customer", "order", "part", "join", "hash",
+        "merge", "sort", "line", "scan", "data", "supplier", "nation",
     }
 )
 _MODALS = frozenset(MODAL_KEYWORDS)

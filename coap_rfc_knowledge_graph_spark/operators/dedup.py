@@ -1,0 +1,336 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all over a ``documents(doc_id, text, ...)``-shaped table
+(the driver's synthetic `documents` parquet or the `pages` table):
+
+- exact:        md5 content hash -> keep min doc_id per hash group
+- n-gram Jaccard: character-shingle overlap above a threshold — fully
+                native (sequence/transform/explode/join), SQL-oracle-able
+- MinHash+LSH:  shingle -> k minhash values -> band buckets -> bucket
+                join -> verified Jaccard; the 10^12-doc scale path where
+                the all-pairs join is infeasible
+- SimHash:      64-bit weighted-token fingerprint; near-dups = hamming
+                distance <= k via band-rotation join
+- embedding cosine: near-dup over an embedding column (see
+                ``similarity.py`` for the join machinery)
+
+Scale notes: every family dedups candidate generation before any
+pairwise verification; all joins are equi-joins on hash/bucket keys
+(shuffle on uniformly-distributed keys); nothing collects to the driver.
+Common-token shingle skew is bounded by ``distinct`` before the shingle
+join and (for the Jaccard join) a frequency cap on pathological
+shingles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# --- exact dedup --------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents:
+    (content_hash, n_docs, keep_id, doc_ids). One hash aggregate."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per identical text. Window-free:
+    min-id per hash + semi-join keeps the plan to two hash aggregates."""
+    keep = (
+        docs.select(F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("__id").alias("__keep"))
+        .select(F.col("__keep").alias(id_col))
+    )
+    return docs.join(keep, on=id_col, how="leftsemi")
+
+
+# --- character shingles (shared) ----------------------------------------------
+
+
+def shingles_expr(text_col, k: int = 5):
+    """array of distinct k-char shingles of lower(text) — native:
+    sequence + transform + array_distinct, all codegen."""
+    lowered = F.lower(text_col)
+    n = F.greatest(F.length(lowered) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(lowered, i, k))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard >= threshold:
+    (doc_a, doc_b, n_common, n_a, n_b, jaccard).
+
+    Plan: explode shingles -> equi-self-join on shingle -> count common
+    per pair -> |A|,|B| from per-doc sizes -> jaccard filter. At scale
+    the shingle join is the shuffle; ``max_shingle_freq`` drops stop-
+    shingles (appearing in more than N docs) that would create quadratic
+    hot keys — the standard suffix-filtering trick.
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"), shingles_expr(F.col(text_col), k).alias("sh"))
+    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = base.select("doc_id", F.explode("sh").alias("shingle"))
+    if max_shingle_freq is not None:
+        hot = (
+            ex.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") > max_shingle_freq)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), on="shingle", how="leftanti")
+    a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), on="doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    k: int = 5,
+    seed: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig array<long>) — k-shingle minhash. The shingle ->
+    base-int hash and the permutation mins run vectorized in one Arrow
+    batch (numpy); no shuffle at all in this stage."""
+    a, b = _hash_params(num_hashes, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = (t or "").lower()
+            if len(t) < k:
+                sh = {t}
+            else:
+                sh = {t[i : i + k] for i in range(len(t) - k + 1)}
+            # stable 61-bit base hash per shingle via Python's crc-free md5-less
+            # path: use numpy int64 of builtin hash is salted -> use crc32-of-bytes
+            import zlib
+
+            base = np.fromiter(
+                ((zlib.crc32(s.encode("utf-8")) << 29) ^ zlib.adler32(s.encode("utf-8")) for s in sh),
+                dtype=np.int64,
+                count=len(sh),
+            ) % _MERSENNE
+            # (a * h + b) mod p per permutation, min over shingles
+            sims = (base[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+            out.append(sims.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    seed: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs via banded minhash:
+    (doc_a, doc_b, est_jaccard). Candidate pairs collide in >= 1 of
+    ``bands`` bands (rows/band = num_hashes/bands); est_jaccard = the
+    fraction of agreeing minhashes, an unbiased Jaccard estimate. At
+    10^12 docs this is THE dedup path: the only shuffle is on
+    (band, band-signature) keys."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, k, seed, id_col, text_col)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "band_sig"),
+    ).withColumn("band_key", F.concat_ws("-", F.col("band"), F.concat_ws(",", F.transform("band_sig", lambda x: x.cast("string")))))
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_key")
+    cand = (
+        a.join(b, on="band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+def simhash_expr_udf(bits: int = 64, seed: int = 29):
+    """Returns a pandas UDF computing a weighted-token simhash (long)."""
+
+    @pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for row, t in enumerate(texts):
+            tokens = (t or "").lower().split()
+            if not tokens:
+                out[row] = 0
+                continue
+            acc = np.zeros(bits, dtype=np.int64)
+            for tok, cnt in pd.Series(tokens).value_counts().items():
+                h1 = zlib.crc32((tok + str(seed)).encode("utf-8"))
+                h2 = zlib.adler32((str(seed) + tok).encode("utf-8"))
+                h = (np.int64(h1) << np.int64(32)) | np.int64(h2)
+                for bpos in range(bits):
+                    if (int(h) >> bpos) & 1:
+                        acc[bpos] += cnt
+                    else:
+                        acc[bpos] -= cnt
+            val = 0
+            for bpos in range(bits):
+                if acc[bpos] > 0:
+                    val |= 1 << bpos
+            out[row] = np.int64(np.uint64(val).astype(np.int64))
+        return pd.Series(out)
+
+    return simhash_udf
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs at hamming distance <= max_hamming: (doc_a, doc_b, hamming).
+
+    Pigeonhole banding: split the fingerprint into max_hamming+1 chunks;
+    any pair within distance k agrees on >= 1 chunk -> equi-join per
+    chunk, verify exact hamming natively (bit_count(xor))."""
+    sim = docs.select(F.col(id_col).alias("doc_id"), simhash_expr_udf(bits)(F.col(text_col)).alias("sh"))
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    banded = sim.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(c).cast("string"),
+                        F.shiftrightunsigned(F.col("sh"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk_key"),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "chunk_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "chunk_key")
+    cand = (
+        a.join(b, on="chunk_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- embedding cosine near-dup ------------------------------------------------
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold over an embedding
+    column: (id_a, id_b, cosine). Normalizes, then an all-pairs join
+    (small-side broadcast under AQE) with a native dot product; at scale
+    swap the join for ``similarity.lsh_topk``'s bucketed variant."""
+    norm = F.sqrt(F.aggregate(F.transform(vec_col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    unit = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x / norm).alias("v"),
+    )
+    a = unit.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = unit.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

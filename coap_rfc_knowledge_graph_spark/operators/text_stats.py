@@ -1,0 +1,152 @@
+"""Text analysis for training-data curation — all native Catalyst.
+
+Four families over a ``documents``/``pages``-shaped table:
+
+- language ID      : stopword-hit heuristic over 5 languages (native:
+                     regexp counts + greatest/when chain)
+- quality scoring  : length / punctuation / stopword / digit ratios +
+                     a composite keep/drop score
+- token counting   : whitespace tokens + a BPE-ish subword estimate
+                     (regexp segmentation)
+- fingerprinting   : normalized-content md5 + a winnowing-style rolling
+                     fingerprint (k-gram min-hash over positions)
+
+Everything is a projection — zero shuffles, fully codegen, pushdown-
+friendly (a filter on ``quality_score`` prunes at the scan when the
+source is columnar). These are the per-row ops a 100 TB curation pass
+runs FIRST, so staying JVM-native here matters most.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- language ID --------------------------------------------------------------
+
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "las", "y", "es", "no", "por", "que", "una"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "中"],
+}
+
+
+def _stopword_hits(text_col: Column, words: list[str]) -> Column:
+    # count word-boundary occurrences of any stopword (case-insensitive)
+    pat = "(?i)\\b(" + "|".join(words) + ")\\b"
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pat), 1))
+
+
+def language_id_expr(text_col: Column) -> Column:
+    """Best-guess language code by stopword hit count ('und' if no hits).
+    A real pipeline swaps in fastText via a pandas UDF; the Spark shape
+    (projection, no shuffle) is identical."""
+    hits = {lang: _stopword_hits(text_col, words) for lang, words in _LANG_STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # reversed so earlier languages win ties deterministically (en first)
+    for lang in reversed(list(_LANG_STOPWORDS)):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), lang).otherwise(expr)
+    return expr
+
+
+def detect_language(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("lang_pred", language_id_expr(F.col(text_col)))
+
+
+# --- quality scoring ----------------------------------------------------------
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_chars, n_tokens, punct_ratio, digit_ratio, stopword_ratio,
+    upper_ratio, mean_token_len, quality_score (0..1)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    tokens = F.split(F.trim(t), r"\s+")
+    n_tokens = F.when(F.trim(t) == "", 0).otherwise(F.size(tokens))
+    n_punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    en_stop = _stopword_hits(t, _LANG_STOPWORDS["en"])
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+    df = (
+        docs.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", safe(n_punct, n_chars))
+        .withColumn("digit_ratio", safe(n_digit, n_chars))
+        .withColumn("upper_ratio", safe(n_upper, n_chars))
+        .withColumn("stopword_ratio", safe(en_stop, n_tokens))
+        .withColumn("mean_token_len", safe(F.length(F.regexp_replace(t, r"\s+", "")), n_tokens))
+    )
+    # composite: reward mid-length docs with some stopwords, punish
+    # punctuation/digit-heavy or shouting text (C4/Gopher-rule flavour)
+    score = (
+        F.when(F.col("n_tokens") < 5, 0.0)
+        .otherwise(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.col("punct_ratio") * 2
+                - F.col("digit_ratio") * 2
+                - F.col("upper_ratio")
+                + F.least(F.col("stopword_ratio"), F.lit(0.3)),
+            )
+        )
+    )
+    return df.withColumn("quality_score", F.least(score, F.lit(1.0)))
+
+
+# --- token counting -----------------------------------------------------------
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """whitespace_tokens + subword_tokens (BPE-ish regex segmentation:
+    letter-runs, digit-runs, punctuation each count; long words count
+    ceil(len/6) pieces — a serviceable budget estimator without a
+    tokenizer model)."""
+    t = F.col(text_col)
+    ws = F.when(F.trim(t) == "", 0).otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    pieces = F.regexp_extract_all(F.lower(t), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1)
+    subword = F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, p: acc + F.ceil(F.length(p) / F.lit(6.0)).cast("int"),
+    )
+    return docs.withColumn("whitespace_tokens", ws).withColumn("subword_tokens", subword)
+
+
+# --- fingerprinting -----------------------------------------------------------
+
+
+def content_fingerprint_expr(text_col: Column) -> Column:
+    """Normalized-content md5: lowercase, strip all non-alphanumerics.
+    Robust to whitespace/punctuation-only edits — the exact-dedup key
+    for 'same words, different formatting' pages."""
+    return F.md5(F.regexp_replace(F.lower(text_col), r"[^a-z0-9]+", ""))
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 8, window: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Winnowing (Schleimer et al.): k-gram hashes, min per sliding
+    window of ``window`` hashes -> (doc_id, fingerprints array<string>).
+    Native: shingle transform -> md5 prefix -> windowed min via
+    transform over positions. Shared fingerprints across docs signal
+    local plagiarism/quotation overlap; join on exploded fingerprints
+    for pair detection."""
+    t = F.lower(F.col(text_col))
+    norm = F.regexp_replace(t, r"[^a-z0-9]+", " ")
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
+    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8))
+    n_h = F.size(hashes)
+    n_windows = F.greatest(n_h - F.lit(window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.array_distinct(mins).alias("fingerprints")
+    )

@@ -42,7 +42,7 @@ from ..operators.contradictions import (
 )
 from ..operators.linking import canonicalize_variables, link_surfaces, surface_to_entity
 from ..operators.mentions import extract_mentions
-from ..operators.pairs import generate_pairs
+from ..operators.pairs import generate_pairs_from_arrays
 from ..operators.properties import parse_atomic_rules
 from ..operators.relations import extract_triples
 from ..operators.rule_filter import rule_sentences
@@ -69,8 +69,11 @@ def extract_stage(pages: DataFrame, url_partitions: int | None = None) -> KGResu
     sentences = extract_sentences(pages, url_partitions=url_partitions)
     sentences = sentences.persist()  # feeds 4 downstream branches
     rules_s = rule_sentences(sentences)
-    mentions = extract_mentions(sentences).persist()
-    pairs = generate_pairs(mentions, sentences)
+    mentions_arr = extract_mentions(sentences, explode=False).persist()
+    mentions = mentions_arr.select(
+        "url", "sent_id", F.explode("mentions").alias("m")
+    ).select("url", "sent_id", "m.begin", "m.end", "m.surface")
+    pairs = generate_pairs_from_arrays(mentions_arr)
     triples = extract_triples(pairs)
     from ..operators.linking import canonical_entities  # local: avoids cycle
 

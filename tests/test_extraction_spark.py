@@ -161,9 +161,9 @@ def test_triples_parity_with_recorded_golden(spark, tmp_path):
                 for j in range(i + 1, len(spans)):
                     b1, e1, s1 = spans[i]
                     b2, e2, s2 = spans[j]
-                    from coap_rfc_knowledge_graph_spark.operators.pairs import _mark
+                    from coap_rfc_knowledge_graph_spark.operators.pairs import _mark_tokens
 
-                    marked = _mark(s, b1, e1, b2, e2)
+                    marked = _mark_tokens(toks, b1, e1, b2, e2)
                     pred = sm.classify_relation(marked)
                     if pred != 0:
                         from coap_rfc_knowledge_graph_spark.config import RELATION_NAMES

@@ -1,0 +1,111 @@
+"""Physical-plan assertions: the shapes we claim (column pruning,
+broadcast joins, no spurious shuffles, salted-join structure) must show
+up in the executed/optimized plans, not just in docstrings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coap_rfc_knowledge_graph_spark.operators.mentions import extract_mentions
+from coap_rfc_knowledge_graph_spark.operators.pairs import generate_pairs_from_arrays
+from coap_rfc_knowledge_graph_spark.operators.sentences import extract_sentences
+from coap_rfc_knowledge_graph_spark.sources.pages import synthetic_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def optimized_str(df) -> str:
+    return str(df._jdf.queryExecution().optimizedPlan())
+
+
+def test_sentence_stage_prunes_and_partitions(spark):
+    pages = synthetic_pages(spark, 8)
+    sents = extract_sentences(pages, url_partitions=4)
+    p = optimized_str(sents)
+    assert "RepartitionByExpression [url" in p
+    # the projection feeding the repartition must exclude warc_ts
+    proj_lines = [ln for ln in p.splitlines() if ln.strip().startswith("+- Project")]
+    assert proj_lines and all("warc_ts" not in ln for ln in proj_lines), p
+
+
+def test_parquet_scan_prunes_columns(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 10).select("doc_id", "lang")
+    p = plan_str(q)
+    assert "ReadSchema" in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema  # unused fat column not read
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in p.replace(" ", "").replace(
+        "PushedFilters:[", "PushedFilters: ["
+    ) or "LessThan(doc_id,10)" in p.replace(" ", "")
+
+
+def test_pair_stage_has_no_shuffle_after_mentions(spark):
+    pages = synthetic_pages(spark, 8)
+    sents = extract_sentences(pages, url_partitions=4)
+    marr = extract_mentions(sents, explode=False)
+    pairs = generate_pairs_from_arrays(marr)
+    p = plan_str(pairs)
+    tree = p.split("\n\n")[0]  # the indented operator tree section
+    # exactly one Exchange: the explicit url repartition feeding sentences
+    assert tree.count("Exchange") == 1, tree
+    # the mention model UDF must be evaluated exactly once (a filter on
+    # the UDF column would duplicate the ArrowEvalPython node)
+    assert tree.count("ArrowEvalPython") == 1, tree
+
+
+def test_link_joinback_is_broadcast(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    small = docs.limit(5).select("doc_id", "source")
+    joined = docs.drop("source").join(F.broadcast(small), on="doc_id")
+    p = plan_str(joined)
+    assert "BroadcastHashJoin" in p
+
+
+def test_salted_join_spreads_key(spark):
+    from coap_rfc_knowledge_graph_spark.operators.linking import salted_top1_join
+
+    big = spark.range(100).select(F.lit("head").alias("k"), "id")
+    small = spark.createDataFrame([("head", 1, "x")], "k string, score int, tag string")
+    out = salted_top1_join(big, small, key="k", order_col="score", salt_buckets=4)
+    p = optimized_str(out)
+    assert "pmod" in p and "__salt" in p  # salt column participates in the join key
+    assert out.count() == 100
+
+
+def test_properties_parser_is_pure_catalyst(spark):
+    """The N6 grammar stage must contain no Python evaluation node."""
+    from coap_rfc_knowledge_graph_spark.operators.properties import parse_atomic_rules
+
+    df = spark.createDataFrame(
+        [("u", 0, 0, 0, True, "s", "Entity rule", "server @ be set to 4 = True;")],
+        "url string, sent_id int, rule_num int, clause_id int, is_strong boolean, "
+        "sentence string, condition string, behaviours string",
+    )
+    p = plan_str(parse_atomic_rules(df))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_text_stats_are_pure_catalyst(spark):
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import quality_features, token_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (quality_features(docs), token_counts(docs)):
+        p = plan_str(df)
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

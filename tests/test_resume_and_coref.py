@@ -1,0 +1,90 @@
+"""Kill/resume lineage test (north rule) + coref operator tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from coap_rfc_knowledge_graph_spark.operators.coref import find_pronouns, resolve_coreferences
+from coap_rfc_knowledge_graph_spark.plans.checkpointing import StageStore, run_resumable
+from coap_rfc_knowledge_graph_spark.sources.pages import synthetic_pages
+
+
+def test_kill_resume_identical_output(spark, tmp_path):
+    """Crash after the 'triples' stage; resume must (a) skip completed
+    stages, (b) produce byte-identical final tables (manifest table_hash
+    equality certifies it, partitioning-insensitively)."""
+    pages = synthetic_pages(spark, 12, seed=21)
+    root_a = str(tmp_path / "run_a")
+    root_b = str(tmp_path / "run_b")
+
+    # uninterrupted reference run
+    store_a = run_resumable(spark, pages, root_a, url_partitions=4)
+
+    # killed run + resume at different parallelism
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, pages, root_b, url_partitions=4, fail_after="triples")
+    # stages after the crash are absent
+    sb = StageStore(root_b)
+    assert sb.has("sentences") and sb.has("triples")
+    assert not sb.has("entities") and not sb.has("rules")
+    # resume (different url_partitions must not change content hashes)
+    mtimes = {s: os.path.getmtime(sb.manifest_path(s)) for s in ["sentences", "mentions", "triples"]}
+    store_b = run_resumable(spark, pages, root_b, url_partitions=8)
+    # completed stages were not recomputed
+    for s, t in mtimes.items():
+        assert os.path.getmtime(sb.manifest_path(s)) == t, f"stage {s} was recomputed"
+    for stage in ["sentences", "mentions", "triples", "entities", "rules", "edges", "contradictions"]:
+        ma, mb = store_a.manifest(stage), store_b.manifest(stage)
+        assert ma["row_count"] == mb["row_count"], stage
+        assert ma["table_hash"] == mb["table_hash"], stage
+        assert mb["inputs"] == ma["inputs"]
+
+
+def test_manifest_contents(spark, tmp_path):
+    store = StageStore(str(tmp_path))
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    store.write(df, "demo", inputs=["src"])
+    m = store.manifest("demo")
+    assert m["row_count"] == 100
+    assert m["complete"] is True
+    assert m["inputs"] == ["src"]
+    assert sum(p["rows"] for p in m["partitions"]) == 100
+    assert isinstance(m["table_hash"], int)
+    # re-read round-trip
+    assert store.read(spark, "demo").count() == 100
+
+
+# --- coref -------------------------------------------------------------------
+
+
+def test_find_pronouns_occurrences(spark):
+    rows = [
+        ("u", 0, "The Server sends a Token."),
+        ("u", 1, "It stores it in the field and they read it."),
+    ]
+    sents = spark.createDataFrame(rows, "url string, sent_id int, sentence string")
+    got = {
+        (r["sent_id"], r["pronoun"], r["occurrence"])
+        for r in find_pronouns(sents, pronouns=["it", "they"]).collect()
+    }
+    # 'It' (capitalized) + 2 lowercase 'it' -> occurrences 1..3
+    assert (1, "it", 1) in got and (1, "it", 2) in got and (1, "it", 3) in got
+    assert (1, "they", 1) in got
+    assert not any(s == 0 for s, _, _ in got)
+
+
+def test_resolve_coreferences(spark):
+    rows = [
+        ("u", 0, "The CoAP Server accepts requests."),
+        ("u", 1, "It MUST reply promptly."),
+    ]
+    sents = spark.createDataFrame(rows, "url string, sent_id int, sentence string")
+    got = resolve_coreferences(sents, pronouns=["it"]).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["sent_id"] == 1 and r["pronoun"] == "it"
+    assert "CoAP Server" in r["antecedent"]

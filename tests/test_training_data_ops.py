@@ -1,0 +1,204 @@
+"""Tests for dedup, similarity search, text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coap_rfc_knowledge_graph_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from coap_rfc_knowledge_graph_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_matmul,
+    ivf_topk,
+)
+from coap_rfc_knowledge_graph_spark.operators.text_stats import (
+    content_fingerprint_expr,
+    detect_language,
+    quality_features,
+    token_counts,
+    winnowing_fingerprints,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "We the client of the table and value in the data for a query. "
+    rows = [
+        (0, base * 3, "en"),
+        (1, base * 3, "en"),                      # exact dup of 0
+        (2, base * 3 + "Extra tail words here.", "en"),  # near dup of 0
+        (3, "Der Server und die Nachricht ist nicht mit einem Fehler zu senden.", "de"),
+        (4, "completely unrelated short text about volcanoes erupting magma.", "en"),
+        (5, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 0
+    kept = dedup_exact(docs)
+    assert kept.count() == 5
+    assert kept.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
+    assert all(not (a == 4 or b == 4) for a, b in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert got.get((0, 1)) == 1.0  # identical docs agree on every hash
+    assert (0, 2) in got
+    assert (0, 4) not in got
+
+
+def test_minhash_signature_stability(spark, docs):
+    a = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(docs).collect()}
+    b = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(docs.repartition(5)).collect()}
+    assert a == b  # partitioning-invariant
+    assert a[0] == a[1]
+
+
+def test_simhash_near_duplicates(spark, docs):
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_duplicates(docs, max_hamming=10).collect()}
+    assert got.get((0, 1)) == 0
+    assert (0, 2) in got
+    assert (0, 4) not in got
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(e, threshold=0.95).collect()}
+    assert got == {(0, 1)}
+
+
+# --- similarity --------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_cosine_topk_exact_vs_matmul(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    a = {(r["query_id"], r["rank"], r["vec_id"]) for r in cosine_topk(emb, queries, k=5).collect()}
+    b = {(r["query_id"], r["rank"], r["vec_id"]) for r in cosine_topk_matmul(emb, queries, k=5).collect()}
+    assert a == b
+    assert len(a) == 15
+
+
+def test_topk_self_is_rank1(spark, emb):
+    queries = emb.filter(F.col("vec_id") == 7).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = cosine_topk(emb, queries, k=1).collect()[0]
+    assert top["vec_id"] == 7 and abs(top["cosine"] - 1.0) < 1e-5
+
+
+def test_ivf_full_probe_matches_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=5).collect()}
+    ivf = {(r["query_id"], r["vec_id"]) for r in ivf_topk(emb, queries, k=5, n_cells=4, nprobe=4).collect()}
+    assert ivf == exact  # probing all cells -> exact
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=5).collect()}
+    ivf = {(r["query_id"], r["vec_id"]) for r in ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4).collect()}
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, recall  # half the cells probed -> decent recall
+
+
+# --- text stats --------------------------------------------------------------
+
+
+def test_language_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in detect_language(docs).collect()}
+    assert got[0] == "en"
+    assert got[3] == "de"
+    assert got[5] == "und"
+
+
+def test_quality_features(spark, docs):
+    got = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert got[5]["quality_score"] == 0.0  # empty doc
+    assert got[0]["quality_score"] > 0.5
+    assert got[0]["stopword_ratio"] > 0.2
+    assert 0 <= got[4]["quality_score"] <= 1.0
+
+
+def test_token_counts(spark):
+    d = spark.createDataFrame([(0, "hello world extraordinarily x"), (1, "")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in token_counts(d).collect()}
+    assert got[0]["whitespace_tokens"] == 4
+    assert got[1]["whitespace_tokens"] == 0
+    assert got[0]["subword_tokens"] >= 5  # 'extraordinarily' counts >1 piece
+
+
+def test_fingerprints(spark, docs):
+    fp = docs.select("doc_id", content_fingerprint_expr(F.col("text")).alias("fp")).collect()
+    by_id = {r["doc_id"]: r["fp"] for r in fp}
+    assert by_id[0] == by_id[1]
+    assert by_id[0] != by_id[4]
+    wf = {r["doc_id"]: set(r["fingerprints"]) for r in winnowing_fingerprints(docs).collect()}
+    assert wf[0] == wf[1]
+    overlap = len(wf[0] & wf[2]) / len(wf[0] | wf[2])
+    assert overlap > 0.5
+    assert len(wf[0] & wf[4]) == 0
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def test_multimodal_features(spark):
+    from coap_rfc_knowledge_graph_spark.operators.multimodal import (
+        extract_features,
+        sample_video_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30).persist()
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["mime"] == "image/png"
+    assert by_id[1]["mime"] == "audio/wav"
+    assert by_id[2]["mime"] == "video/mp4"
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic across partitioning
+    feats2 = {r["media_id"]: list(r["features"]) for r in extract_features(media.repartition(7), dim=16).collect()}
+    assert feats2 == {r["media_id"]: list(r["features"]) for r in feats}
+    frames = sample_video_frames(media, every_ms=5000)
+    assert frames.count() > 0
+    assert frames.select(F.min("frame_ts_ms")).collect()[0][0] == 0
+
+
+def test_multimodal_backend_stub_raises(spark):
+    from coap_rfc_knowledge_graph_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|backend|media decoding"):
+        extract_features(media, use_backend=True).collect()

@@ -1,0 +1,61 @@
+"""Two-parallelism scaling evidence (sandbox stand-in for N vs 4N
+executors, per BASELINE.json): run bench.py at local[8] and local[32]
+on the SAME input and report throughput at both plus scaling efficiency
+= (docs_per_sec@32 / docs_per_sec@8) / 4. Writes BENCH/SCALING.json and
+updates the scaling section of BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    lo, hi = 8, 32
+    r_lo = run_bench(lo, sf_dir)
+    r_hi = run_bench(hi, sf_dir)
+    tp_lo = r_lo["queries"]["docs_per_sec"]
+    tp_hi = r_hi["queries"]["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo) if tp_lo else 0.0
+    result = {
+        "sf_dir": sf_dir,
+        "parallelism_low": lo,
+        "parallelism_high": hi,
+        "docs_per_sec_low": tp_lo,
+        "docs_per_sec_high": tp_hi,
+        "flagship_sec_low": r_lo["value"],
+        "flagship_sec_high": r_hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "meets_target": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SCALING.json"), "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
