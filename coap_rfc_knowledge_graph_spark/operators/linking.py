@@ -202,14 +202,42 @@ def candidate_pairs_lsh(
 # --- N3: greedy first-wins resolution (distributed pointer chase) -------------
 
 
-def resolve_greedy(pairs: DataFrame, embedded: DataFrame, max_rounds: int = 30) -> DataFrame:
+def resolve_greedy(pairs: DataFrame, embedded: DataFrame) -> DataFrame:
     """Emulates ``entities[j] = entities[i]`` chained overwrites exactly:
     parent(j) = max{i < j : sim(i,j) > t}; rep(j) = rep(parent(j)).
+    Returns canonical(idx, canon_idx).
 
-    Pointer-doubling: each round joins the current pointer table to
-    itself, halving remaining chain depth — O(log depth) shuffles on the
-    dictionary-sized table. Returns canonical(idx, canon_idx).
+    The parent reduction (max i per j) runs DISTRIBUTED over the pair
+    set; the chain-follow then runs on the collected parent table —
+    dictionary-sized (one row per merged surface), and parent(j) < j
+    makes it a single ascending pass. Driver-side here is the right
+    call: the distributed pointer-doubling alternative
+    (:func:`resolve_greedy_distributed`) spends seconds of scheduler
+    overhead per round on a table this small — it exists for the case
+    where even the merged-surface set outgrows driver memory.
     """
+    spark = embedded.sparkSession
+    parent_rows = pairs.groupBy("j").agg(F.max("i").alias("parent")).collect()
+    parent = {int(r["j"]): int(r["parent"]) for r in parent_rows}
+    rep: dict[int, int] = {}
+    for j in sorted(parent):
+        p = parent[j]
+        rep[j] = rep.get(p, p)
+    if not rep:
+        return embedded.select("idx", F.col("idx").alias("canon_idx"))
+    mapping = spark.createDataFrame(list(rep.items()), "idx long, canon_idx long")
+    return (
+        embedded.select("idx")
+        .join(F.broadcast(mapping), on="idx", how="left")
+        .select("idx", F.coalesce("canon_idx", "idx").alias("canon_idx"))
+    )
+
+
+def resolve_greedy_distributed(pairs: DataFrame, embedded: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Distributed variant of :func:`resolve_greedy` by pointer-doubling:
+    each round joins the pointer table to itself, halving remaining chain
+    depth — O(log depth) shuffles. Same output; use when the merged-
+    surface set cannot be collected."""
     parents = pairs.groupBy("j").agg(F.max("i").alias("parent"))
     ptr = (
         embedded.select("idx")

@@ -53,3 +53,67 @@ def extract_triples(pairs: DataFrame) -> DataFrame:
         "url",
         "sent_id",
     )
+
+
+TRIPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("sent_id", T.IntegerType()),
+    ]
+)
+
+
+def extract_triples_from_arrays(mentions_arr: DataFrame) -> DataFrame:
+    """Fused fast path: mention arrays -> triples in ONE ``mapInPandas``
+    (pair fan-out + marker insertion + relation classify + pred!=0
+    filter inside a single Python pass). Semantically identical to
+    ``extract_triples(generate_pairs_from_arrays(...))`` — pinned by
+    tests — but the ~C(n,2)-sized marked-sentence column never crosses
+    the JVM<->Python boundary, which at 10^12 documents is the largest
+    intermediate of the whole pipeline."""
+    from .pairs import _mark_tokens  # late import avoids module cycle
+    from ..functions import tokenizer
+
+    names = _NAMES
+
+    def fn(batches):
+        for pdf in batches:
+            subjs: list[str] = []
+            preds: list[str] = []
+            objs: list[str] = []
+            urls: list[str] = []
+            sids: list[int] = []
+            for url, sid, sent, ms in zip(pdf["url"], pdf["sent_id"], pdf["sentence"], pdf["mentions"]):
+                if ms is None or len(ms) < 2:
+                    continue
+                toks = tokenizer.tokenize(sent, pad=False)
+                spans = sorted(
+                    ((int(m["begin"]), int(m["end"]), m["surface"]) for m in ms),
+                    key=lambda x: (x[0], x[1]),
+                )
+                for i in range(len(spans)):
+                    b1, e1, s1 = spans[i]
+                    for j in range(i + 1, len(spans)):
+                        b2, e2, s2 = spans[j]
+                        pred = stub_models.classify_relation(_mark_tokens(toks, b1, e1, b2, e2))
+                        if pred != 0:
+                            subjs.append(s1)
+                            preds.append(names[pred])
+                            objs.append(s2)
+                            urls.append(url)
+                            sids.append(sid)
+            yield pd.DataFrame(
+                {
+                    "subj": subjs,
+                    "pred": preds,
+                    "obj": objs,
+                    "url": urls,
+                    "sent_id": pd.array(sids, dtype="int32"),
+                }
+            )
+
+    pruned = mentions_arr.select("url", "sent_id", "sentence", "mentions")
+    return pruned.mapInPandas(fn, TRIPLES_SCHEMA)

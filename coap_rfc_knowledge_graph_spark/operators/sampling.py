@@ -1,0 +1,57 @@
+"""M7 + train/test utilities (training-side data prep).
+
+Reference semantics:
+- M7 class rebalancing (``src/relation_extractor.py:118-132``): keep all
+  related pairs, downsample the dominant NO-RELATION class to a fixed
+  count with seeded random choice.
+- train/test split (``src/entity_extractor.py:1501-1505``):
+  ``random_split`` 0.8/0.1/0.1.
+
+Spark shape: native ``sample``/``randomSplit`` (seeded). For the
+exact-count downsample the reference wants, a seeded rank over
+``rand(seed)`` keeps exactly n rows — deterministic given seed AND
+input (rand is seeded per-partition; we pin partitioning first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rebalance_majority_class(
+    df: DataFrame,
+    label_col: str,
+    majority_label,
+    keep_n: int,
+    seed: int = 4,
+) -> DataFrame:
+    """Keep every minority-class row + exactly ``keep_n`` seeded-random
+    majority-class rows (the reference's NO-RELATION -> 700 downsample).
+    """
+    minority = df.filter(F.col(label_col) != majority_label)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.rand(seed), F.monotonically_increasing_id())
+    majority = (
+        df.filter(F.col(label_col) == majority_label)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= keep_n)
+        .drop("__rn")
+    )
+    return minority.unionByName(majority)
+
+
+def class_distribution(df: DataFrame, label_col: str) -> DataFrame:
+    """Counter(labels) -> (label, n, frac)."""
+    total = df.count()
+    return (
+        df.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("frac", F.col("n") / F.lit(total))
+    )
+
+
+def train_test_split(
+    df: DataFrame, weights: tuple[float, ...] = (0.8, 0.1, 0.1), seed: int = 4
+) -> list[DataFrame]:
+    """Seeded randomSplit (reference 0.8/0.1/0.1)."""
+    return df.randomSplit(list(weights), seed=seed)

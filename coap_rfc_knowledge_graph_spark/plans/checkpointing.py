@@ -137,8 +137,7 @@ def run_resumable(
     from ..operators.contradictions import check_entity_contradiction
     from ..operators.linking import canonical_entities, link_surfaces
     from ..operators.mentions import extract_mentions
-    from ..operators.pairs import generate_pairs_from_arrays
-    from ..operators.relations import extract_triples
+    from ..operators.relations import extract_triples_from_arrays
     from ..operators.rule_filter import rule_sentences
     from ..operators.rules import build_edges
     from ..operators.sentences import extract_sentences
@@ -155,9 +154,7 @@ def run_resumable(
 
     sentences = stage("sentences", lambda: extract_sentences(pages, url_partitions=url_partitions), ["pages"])
     mentions_arr = stage("mentions", lambda: extract_mentions(sentences, explode=False), ["sentences"])
-    triples = stage(
-        "triples", lambda: extract_triples(generate_pairs_from_arrays(mentions_arr)), ["mentions"]
-    )
+    triples = stage("triples", lambda: extract_triples_from_arrays(mentions_arr), ["mentions"])
     mentions = mentions_arr.select("url", "sent_id", F.explode("mentions").alias("m")).select(
         "url", "sent_id", "m.begin", "m.end", "m.surface"
     )

@@ -26,8 +26,6 @@ dictionary rows; every join back to corpus-sized tables is broadcast.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,25 +40,46 @@ from ..operators.contradictions import (
 )
 from ..operators.linking import canonicalize_variables, link_surfaces, surface_to_entity
 from ..operators.mentions import extract_mentions
-from ..operators.pairs import generate_pairs_from_arrays
 from ..operators.properties import parse_atomic_rules
-from ..operators.relations import extract_triples
+from ..operators.relations import extract_triples_from_arrays
 from ..operators.rule_filter import rule_sentences
 from ..operators.rules import build_edges, build_nodes, build_rules, encode_values
 from ..operators.sentences import extract_sentences
 
 
-@dataclass
 class KGResult:
-    sentences: DataFrame
-    rule_sentences: DataFrame
-    mentions: DataFrame
-    triples: DataFrame
-    entities: DataFrame
-    rules: DataFrame | None = None
-    nodes: DataFrame | None = None
-    edges: DataFrame | None = None
-    findings: dict[str, DataFrame] = field(default_factory=dict)
+    """Stage-output bundle. ``entities`` is LAZY: the canonicalization
+    path contains driver-side eager work (dictionary collect + greedy
+    resolve), so it only runs when a consumer actually needs the entity
+    dictionary — the triples-only flagship never pays for it."""
+
+    def __init__(
+        self,
+        sentences: DataFrame,
+        rule_sentences: DataFrame,
+        mentions: DataFrame,
+        triples: DataFrame,
+        entities: DataFrame | None = None,
+        entities_fn=None,
+    ):
+        self.sentences = sentences
+        self.rule_sentences = rule_sentences
+        self.mentions = mentions
+        self.triples = triples
+        self._entities = entities
+        self._entities_fn = entities_fn
+        self.rules: DataFrame | None = None
+        self.nodes: DataFrame | None = None
+        self.edges: DataFrame | None = None
+        self.findings: dict[str, DataFrame] = {}
+
+    @property
+    def entities(self) -> DataFrame:
+        if self._entities is None:
+            if self._entities_fn is None:
+                raise ValueError("KGResult has neither entities nor entities_fn")
+            self._entities = self._entities_fn()
+        return self._entities
 
 
 def extract_stage(pages: DataFrame, url_partitions: int | None = None) -> KGResult:
@@ -73,17 +92,15 @@ def extract_stage(pages: DataFrame, url_partitions: int | None = None) -> KGResu
     mentions = mentions_arr.select(
         "url", "sent_id", F.explode("mentions").alias("m")
     ).select("url", "sent_id", "m.begin", "m.end", "m.surface")
-    pairs = generate_pairs_from_arrays(mentions_arr)
-    triples = extract_triples(pairs)
+    triples = extract_triples_from_arrays(mentions_arr)
     from ..operators.linking import canonical_entities  # local: avoids cycle
 
-    entities = canonical_entities(mentions)
     return KGResult(
         sentences=sentences,
         rule_sentences=rules_s,
         mentions=mentions,
         triples=triples,
-        entities=entities,
+        entities_fn=lambda: canonical_entities(mentions),
     )
 
 

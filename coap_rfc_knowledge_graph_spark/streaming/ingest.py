@@ -1,0 +1,101 @@
+"""Structured Streaming ingestion for continuous KG construction.
+
+The reference is strictly batch (SURVEY §2.6: no streaming analogue), so
+this module is an EXTENSION for the web-scale deployment: a crawl drops
+page files continuously; the pipeline keeps the KG tables current.
+
+Two patterns:
+
+- :func:`stream_triples` — incremental triple extraction. The extract
+  chain (sentences -> mentions -> pairs -> triples) is a deterministic
+  per-document batch transform, so it rides in ``foreachBatch``: each
+  micro-batch runs the SAME code as the batch pipeline (one source of
+  truth) and appends to the triples table. Exactly-once comes from the
+  streaming checkpoint (source offsets) + idempotent append of
+  url-keyed rows.
+- :func:`windowed_event_counts` — watermark + tumbling-window
+  aggregation over an event stream (late data dropped past the
+  watermark), the standard stateful-agg shape for crawl telemetry.
+
+Scale notes: ``maxFilesPerTrigger`` bounds micro-batch size so the UDF
+stages keep their Arrow batch profile; state for the windowed agg is
+bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.pages import PAGES_SCHEMA
+
+
+def stream_pages(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-drop source of pages parquet (a stand-in for the crawl bus;
+    swap format('parquet') for kafka + from_avro at deployment)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def stream_triples(
+    pages_stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    url_partitions: int | None = None,
+    available_now: bool = True,
+):
+    """pages stream -> continuously-appended triples parquet.
+
+    Returns the started StreamingQuery; callers ``awaitTermination`` or
+    stop it. ``available_now=True`` drains everything currently present
+    then stops (the batch-backfill trigger)."""
+    from ..operators.mentions import extract_mentions
+    from ..operators.pairs import generate_pairs_from_arrays
+    from ..operators.relations import extract_triples
+    from ..operators.sentences import extract_sentences
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        triples = extract_triples(
+            generate_pairs_from_arrays(
+                extract_mentions(
+                    extract_sentences(batch_df, url_partitions=url_partitions),
+                    explode=False,
+                )
+            )
+        ).withColumn("batch_id", F.lit(batch_id))
+        triples.write.mode("append").parquet(output_dir)
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling-window event counts with a late-data watermark:
+    (window_start, window_end, event_type, n). Standard streaming agg —
+    state bounded by the watermark horizon."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )

@@ -180,3 +180,22 @@ def test_triples_parity_with_recorded_golden(spark, tmp_path):
     precision = len(got & golden) / len(got)
     recall = len(got & golden) / len(golden)
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_fused_triples_equals_unfused(spark):
+    """The fused mapInPandas fast path must emit exactly the rows of the
+    modular pairs -> classify -> filter chain."""
+    from coap_rfc_knowledge_graph_spark.operators.pairs import generate_pairs_from_arrays
+    from coap_rfc_knowledge_graph_spark.operators.relations import (
+        extract_triples,
+        extract_triples_from_arrays,
+    )
+
+    pages = synthetic_pages(spark, 15, seed=5)
+    sents = extract_sentences(pages, url_partitions=4).persist()
+    marr = extract_mentions(sents, explode=False).persist()
+    fused = {tuple(r) for r in extract_triples_from_arrays(marr).collect()}
+    unfused = {
+        tuple(r) for r in extract_triples(generate_pairs_from_arrays(marr)).collect()
+    }
+    assert fused == unfused and fused

@@ -1,0 +1,91 @@
+"""Structured Streaming: incremental triple extraction equals the batch
+result; windowed aggregation with watermark produces correct counts."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from coap_rfc_knowledge_graph_spark.plans.pipeline import extract_stage
+from coap_rfc_knowledge_graph_spark.sources.pages import synthetic_pages
+from coap_rfc_knowledge_graph_spark.streaming.ingest import (
+    stream_pages,
+    stream_triples,
+    windowed_event_counts,
+)
+
+
+def test_stream_triples_matches_batch(spark, tmp_path):
+    pages = synthetic_pages(spark, 10, seed=33)
+    in_dir = str(tmp_path / "in")
+    # three separate file drops -> three micro-batches (maxFilesPerTrigger=1)
+    pages.persist()
+    rows = pages.collect()
+    for i, chunk in enumerate([rows[0:4], rows[4:7], rows[7:10]]):
+        spark.createDataFrame(chunk, pages.schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"drop{i}")
+        )
+    # streaming source reads nested dirs? use the flat file list instead:
+    flat_dir = str(tmp_path / "flat")
+    os.makedirs(flat_dir)
+    n = 0
+    for root, _dirs, files in os.walk(in_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(root, f), os.path.join(flat_dir, f"part{n}.parquet"))
+                n += 1
+    assert n == 3
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_triples(
+        stream_pages(spark, flat_dir, max_files_per_trigger=1),
+        output_dir=out_dir,
+        checkpoint_dir=ckpt,
+        url_partitions=2,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    batches = got.select("batch_id").distinct().count()
+    assert batches >= 2  # multiple micro-batches actually happened
+    batch_triples = extract_stage(pages, url_partitions=2).triples
+    a = {tuple(r) for r in got.drop("batch_id").collect()}
+    b = {tuple(r) for r in batch_triples.collect()}
+    assert a == b  # streaming == batch, exactly
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for m, et in [(0, "a"), (0, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "b")]:
+        rows.append((base + datetime.timedelta(minutes=m, seconds=10), et))
+    src_dir = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "ts timestamp, event_type string").coalesce(1).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = windowed_event_counts(stream, window_duration="1 minute", watermark="5 minutes")
+    out = str(tmp_path / "evout")
+    ckpt = str(tmp_path / "evckpt")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows finalized by the watermark; with a
+    # single drop the last windows may be open -> check subset correctness
+    got = {
+        (r["window_start"].minute, r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {(0, "a"): 2, (1, "b"): 1, (2, "a"): 1, (2, "b"): 2}
+    for k, v in got.items():
+        assert expected[k] == v
