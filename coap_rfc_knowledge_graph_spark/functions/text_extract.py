@@ -29,7 +29,7 @@ import re
 # Abbreviations that never end a sentence (lower-cased, no trailing dot).
 _ABBREVIATIONS = frozenset(
     {
-        "e.g", "i.e", "etc", "cf", "vs", "al", "fig", "sec", "no",
+        "e.g", "i.e", "cf", "vs", "al", "fig", "sec", "no",
         "resp", "approx", "incl", "rev", "ver", "st", "mr", "ms", "dr",
     }
 )
@@ -81,21 +81,33 @@ def sent_tokenize(text: str) -> list[str]:
                 break
             continue
         nxt = text[k]
-        if not (nxt.isupper() or nxt in _OPENERS or nxt.isdigit()):
+        # "o "/"* " are RFC bullet markers: Punkt splits before bullets
+        is_bullet = nxt in "o*" and k + 1 < n and text[k + 1].isspace()
+        if not (nxt.isupper() or nxt in _OPENERS or nxt.isdigit() or is_bullet):
             i = end
             continue
         if c == "." and j - i == 1:
             word = _word_before(text, i)
+            if word and word[-1] in _CLOSERS:
+                word = ""  # ".)"-style: period outside the bracket -> boundary
             bare = word.rstrip(".").lstrip("\"'([{")
             low = bare.lower()
+            # a pure dotted-number token ("1.1.", "Section 5.1.") is a
+            # boundary — Punkt splits after numeric references
+            word_start = i - len(word)
+            numeric_heading = bare != "" and all(ch.isdigit() or ch == "." for ch in bare)
             if low in _ABBREVIATIONS:
                 i = end
                 continue
             if len(bare) == 1 and bare.isupper():
-                i = end  # single initial, e.g. "B. Frank"
-                continue
-            if "." in bare and not bare.endswith(".."):
-                i = end  # dotted token: "7.1", "e.g", "RFC7252bis.v2"
+                # single initial ("B. Frank") — except document references
+                # like "Appendix A.", which Punkt treats as boundaries
+                prev = _word_before(text, word_start - 1) if word_start > 0 else ""
+                if prev not in ("Appendix", "Annex"):
+                    i = end
+                    continue
+            elif "." in bare and not bare.endswith("..") and not numeric_heading:
+                i = end  # dotted token: "7.1bis", "e.g", mid-line "5.1."
                 continue
         sentences.append(text[start:end])
         start = k

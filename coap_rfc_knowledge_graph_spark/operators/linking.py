@@ -83,18 +83,27 @@ def distinct_surfaces(mentions: DataFrame) -> DataFrame:
     )
 
 
-def embedded_surfaces(surfaces: DataFrame) -> DataFrame:
+def embedded_surfaces(surfaces: DataFrame, scale_path: bool = False) -> DataFrame:
     """surfaces + idx (first-seen rank, the reference's list index) + vec.
 
-    The global rank is a single total-order window — acceptable because
-    this runs on the *distinct-surface* table (dictionary-sized, not
-    corpus-sized). At extreme dictionary sizes switch to
-    ``zipWithIndex``-style per-partition offsets.
+    Default: a global total-order window — one task, fine for
+    dictionary-sized inputs (distinct surfaces, not corpus rows).
+    ``scale_path=True``: range-partitioned sort + RDD ``zipWithIndex``
+    (per-partition offsets, no single-task stage) for dictionaries that
+    outgrow one task; produces the identical index (pinned by test).
     """
-    w = Window.orderBy("first_seen", "surface")
-    return surfaces.withColumn("idx", F.row_number().over(w) - 1).withColumn(
-        "vec", embed_udf(F.col("surface"))
-    )
+    if scale_path:
+        spark = surfaces.sparkSession
+        ordered = surfaces.repartitionByRange(
+            max(surfaces.rdd.getNumPartitions(), 1), "first_seen", "surface"
+        ).sortWithinPartitions("first_seen", "surface")
+        schema = ordered.schema.add("idx", "long")
+        indexed = ordered.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+        out = spark.createDataFrame(indexed, schema)
+    else:
+        w = Window.orderBy("first_seen", "surface")
+        out = surfaces.withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
+    return out.withColumn("vec", embed_udf(F.col("surface")))
 
 
 # --- candidate pair generation ------------------------------------------------

@@ -311,3 +311,10 @@ def test_encode_values_roundtrip(spark):
     got = {r["k"]: r["value_num"] for r in encode_values(atomic).collect()}
     assert got["a"] == 1.0
     assert got["b"] >= 999999.0
+
+
+def test_embedded_surfaces_scale_path_same_index(spark, mention_df):
+    ds = distinct_surfaces(mention_df)
+    a = {r["surface"]: r["idx"] for r in embedded_surfaces(ds).collect()}
+    b = {r["surface"]: r["idx"] for r in embedded_surfaces(ds, scale_path=True).collect()}
+    assert a == b

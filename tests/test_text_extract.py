@@ -70,15 +70,27 @@ def test_rfc_extraction_deterministic():
 
 def test_rfc_extraction_overlap_with_reference_corpus():
     """Our Punkt-like splitter vs the frozen nltk output of the reference
-    (data/pretrain_sentences.txt block 1 = rfc7252): sanity floor on
-    agreement. Full byte parity is impossible without nltk; the enforced
-    byte-identical contract is Spark-vs-in-process (test_sentences_spark)."""
-    raw = open(os.path.join(DATA, "rfc7252.txt"), encoding="utf-8").read()
-    ours = extract_rfc_sentences(raw, "Shelby, et al.", "RFC 7252")
-    ref_block = open(os.path.join(DATA, "pretrain_sentences.txt"), encoding="utf-8").read().split("\n\n")[0]
-    ref = set(ref_block.split("\n"))
-    overlap = sum(1 for s in ours if s in ref)
-    assert overlap / len(ours) > 0.75
+    (data/pretrain_sentences.txt blocks 0-3 = the four RFCs): corpus-level
+    sentence P/R must clear the 0.95 gate. Residual divergence is Punkt's
+    context-dependent learned behaviour (e.g. it merges 'Appendix A.
+    OSCORE...' in rfc8613 but splits the same shape in rfc8974), which no
+    deterministic rule set reproduces exactly. The enforced BYTE-identical
+    contract is Spark-vs-in-process (test_sentences_spark)."""
+    blocks = (
+        open(os.path.join(DATA, "pretrain_sentences.txt"), encoding="utf-8").read().split("\n\n")
+    )
+    names = ["rfc7252", "rfc7959", "rfc8613", "rfc8974"]
+    tot_ours = tot_ref = tot_match = 0
+    for i, name in enumerate(names):
+        raw = open(os.path.join(DATA, f"{name}.txt"), encoding="utf-8").read()
+        ours = set(extract_rfc_sentences(raw, *RFC_HEADINGS[name]))
+        ref = set(blocks[i].split("\n"))
+        tot_ours += len(ours)
+        tot_ref += len(ref)
+        tot_match += len(ours & ref)
+    precision = tot_match / tot_ours
+    recall = tot_match / tot_ref
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
 
 
 def test_clean_spec_lines_page_numbers_and_prefixes():

@@ -17,8 +17,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+DOCS_MULT = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "16"))
+
+
 def run_bench(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_DOCS_MULT=str(DOCS_MULT),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -41,7 +49,8 @@ def best_of(n: int, cpus: int, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    lo, hi = 8, 32
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
     r_lo = best_of(2, lo, sf_dir)
     r_hi = best_of(2, hi, sf_dir)
     tp_lo = r_lo["queries"]["docs_per_sec"]
@@ -49,6 +58,8 @@ def main() -> None:
     eff = (tp_hi / tp_lo) / (hi / lo) if tp_lo else 0.0
     result = {
         "sf_dir": sf_dir,
+        "docs_mult": DOCS_MULT,
+        "n_docs": r_hi["queries"]["n_docs"],
         "parallelism_low": lo,
         "parallelism_high": hi,
         "docs_per_sec_low": tp_lo,
