@@ -33,9 +33,15 @@ def _atom(var, op, value) -> Column:
     return F.struct(var.alias("var"), op.alias("op"), value.alias("value"))
 
 
-def atomic_rules_expr(behaviour: Column, sentiment: Column) -> Column:
+def atomic_rules_expr(behaviour: Column, sentiment: Column, variant: str = "coap") -> Column:
     """behaviour_property text + sentiment -> array of atomic-rule structs,
-    branch-for-branch equal to the reference's elif chain."""
+    branch-for-branch equal to the reference's elif chain.
+
+    ``variant='mqtt'``/``'amqp'``: the reference's protocol variants
+    comment out the numeric-range and return+response branches
+    (``src/MQTT_contradiction_checking.py:49-56, 93-103``; same in the
+    AMQP file) — those branch keys are skipped, order preserved.
+    """
     bp = behaviour
     pos = sentiment == F.lit("True")
     eq_op = F.when(pos, "=").otherwise("!=")
@@ -48,10 +54,11 @@ def atomic_rules_expr(behaviour: Column, sentiment: Column) -> Column:
 
     one = lambda var, op, value: F.array(_atom(var, op, value))
 
-    return (
-        F.when(has("set") & has("to"), one("value", eq_op, after("to")))
-        .when(has("unknown"), one("value", eq_op, "unknown"))
-        .when(
+    branches = [
+        ("set_to", has("set") & has("to"), one("value", eq_op, after("to"))),
+        ("unknown", has("unknown"), one("value", eq_op, "unknown")),
+        (
+            "numeric_range",
             has(r"\d+") & (has("and") | has("to")),
             F.when(F.size(nums) == 1, one("value", "=", F.element_at(nums, 1))).otherwise(
                 F.array(
@@ -59,30 +66,35 @@ def atomic_rules_expr(behaviour: Column, sentiment: Column) -> Column:
                     _atom("value", "<", F.element_at(nums, 2)),
                 )
             ),
-        )
-        .when(has("Empty") | has("empty"), one("value", eq_op, "empty"))
-        .when(has("decreased") & has("below"), one("value", F.when(pos, "<").otherwise(">="), after("below")))
-        .when(has("class elective"), one("unrecognized option", eq_op, "elective"))
-        .when(has("class critical"), one("unrecognized option", eq_op, "critical"))
-        .when((has("return") | has("returned")) & has("response"), one("value", eq_op, nums_joined))
-        .when(has("Response Code"), one("value", eq_op, num_or_error))
-        .when(has("error code"), one("value", eq_op, num_or_error))
-        .when(has("default value"), one("value", eq_op, "default"))
-        .when(has("value") & has("be"), one("value", eq_op, after("be")))
-        .when(has("ignored"), one("error", eq_op, "ignore"))
-        .when(has("ignore"), one("error", eq_op, "ignore"))
-        .when(has("message format error"), one("error", eq_op, "message format error"))
-        .when(has("reject") & has("message"), one("error", eq_op, "reject message"))
-        .when(has("rejected"), one("error", eq_op, "reject"))
-        .when(has("Rejecting") & has("message"), one("error", eq_op, "reject message"))
-        .when(has("ICMP errors"), one("error", eq_op, "ICMP errors"))
-        .when(has("idempotent"), one("idempotent", "=", sentiment))
-        .otherwise(one(bp, "=", sentiment))
-        .cast(_ATOMS_TYPE)
-    )
+        ),
+        ("empty", has("Empty") | has("empty"), one("value", eq_op, "empty")),
+        ("decreased_below", has("decreased") & has("below"), one("value", F.when(pos, "<").otherwise(">="), after("below"))),
+        ("class_elective", has("class elective"), one("unrecognized option", eq_op, "elective")),
+        ("class_critical", has("class critical"), one("unrecognized option", eq_op, "critical")),
+        ("return_response", (has("return") | has("returned")) & has("response"), one("value", eq_op, nums_joined)),
+        ("response_code", has("Response Code"), one("value", eq_op, num_or_error)),
+        ("error_code", has("error code"), one("value", eq_op, num_or_error)),
+        ("default_value", has("default value"), one("value", eq_op, "default")),
+        ("value_be", has("value") & has("be"), one("value", eq_op, after("be"))),
+        ("ignored", has("ignored"), one("error", eq_op, "ignore")),
+        ("ignore", has("ignore"), one("error", eq_op, "ignore")),
+        ("mfe", has("message format error"), one("error", eq_op, "message format error")),
+        ("reject_message", has("reject") & has("message"), one("error", eq_op, "reject message")),
+        ("rejected", has("rejected"), one("error", eq_op, "reject")),
+        ("rejecting", has("Rejecting") & has("message"), one("error", eq_op, "reject message")),
+        ("icmp", has("ICMP errors"), one("error", eq_op, "ICMP errors")),
+        ("idempotent", has("idempotent"), one("idempotent", "=", sentiment)),
+    ]
+    skip = {"numeric_range", "return_response"} if variant in ("mqtt", "amqp") else set()
+    expr = None
+    for key, cond, result in branches:
+        if key in skip:
+            continue
+        expr = F.when(cond, result) if expr is None else expr.when(cond, result)
+    return expr.otherwise(one(bp, "=", sentiment)).cast(_ATOMS_TYPE)
 
 
-def parse_atomic_rules(behaviours_df: DataFrame) -> DataFrame:
+def parse_atomic_rules(behaviours_df: DataFrame, variant: str = "coap") -> DataFrame:
     """behaviours(url, sent_id, rule_num, ..., behaviours string) ->
     atomic_rules(url, sent_id, rule_num, is_strong, sentence, condition,
     entity_surface, var, op, value, atom_id).
@@ -105,7 +117,7 @@ def parse_atomic_rules(behaviours_df: DataFrame) -> DataFrame:
     ).withColumn("var_sentiment", F.trim(F.element_at(F.split(F.col("atomic_raw"), "@"), 2)))
     bp = F.trim(F.element_at(F.split(F.col("var_sentiment"), "="), 1))
     sentiment = F.trim(F.element_at(F.split(F.col("var_sentiment"), "="), 2))
-    df = df.withColumn("atoms", atomic_rules_expr(bp, sentiment))
+    df = df.withColumn("atoms", atomic_rules_expr(bp, sentiment, variant=variant))
     out = df.select(
         "url",
         "sent_id",

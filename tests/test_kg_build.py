@@ -318,3 +318,27 @@ def test_embedded_surfaces_scale_path_same_index(spark, mention_df):
     a = {r["surface"]: r["idx"] for r in embedded_surfaces(ds).collect()}
     b = {r["surface"]: r["idx"] for r in embedded_surfaces(ds, scale_path=True).collect()}
     assert a == b
+
+
+def test_properties_variant_mqtt_skips_branches(spark):
+    """MQTT/AMQP variants drop the numeric-range and return+response
+    branches (reference comments them out) — inputs that hit those
+    branches under 'coap' fall through to later branches instead."""
+    rows = [
+        ("u", 0, 0, 0, True, "s", "Entity rule", "server @ Lengths 9 and 15 are reserved = True;"),
+        ("u", 1, 0, 0, True, "s", "Entity rule", "server @ return a 4 04 response = True;"),
+    ]
+    schema = (
+        "url string, sent_id int, rule_num int, clause_id int, is_strong boolean, "
+        "sentence string, condition string, behaviours string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    coap = {(r["sent_id"], r["var"], r["op"], r["value"]) for r in parse_atomic_rules(df).collect()}
+    mqtt = {(r["sent_id"], r["var"], r["op"], r["value"]) for r in parse_atomic_rules(df, variant="mqtt").collect()}
+    # coap: range branch -> two atoms; mqtt: falls through to fallback
+    assert (0, "value", ">", "9") in coap and (0, "value", "<", "15") in coap
+    assert not any(s == 0 and op in (">", "<") for s, _, op, _ in mqtt)
+    # coap: return+response -> value = 4.04; mqtt: falls to Response Code? no ->
+    # 'response' branch gone, no 'Response Code' (case), falls through
+    assert (1, "value", "=", "4.04") in coap
+    assert (1, "value", "=", "4.04") not in mqtt
