@@ -326,13 +326,41 @@ def q_kg_entities(spark, sf_dir):
 
 
 def q_kg_contradictions(spark, sf_dir):
-    """EP3: rules + Q1 entity contradictions (solver UDF -> rows-only)."""
-    from coap_rfc_knowledge_graph_spark.plans.pipeline import extract_stage, rules_stage
+    """EP3: rules + Q1 entity contradictions (solver UDF -> rows-only).
+
+    The synthetic documents corpus has no uppercase RFC-2119 modals, so
+    the rule filter runs with a case-insensitive keyword pattern here —
+    same operator, corpus-appropriate keyword list — making the check
+    non-trivial (rules and contradiction entities exist)."""
     from coap_rfc_knowledge_graph_spark.operators.contradictions import check_entity_contradiction
+    from coap_rfc_knowledge_graph_spark.operators.rule_filter import rule_sentences
+    from coap_rfc_knowledge_graph_spark.plans.pipeline import extract_stage, rules_stage
     from coap_rfc_knowledge_graph_spark.sources.pages import pages_from_documents
 
-    res = rules_stage(extract_stage(pages_from_documents(spark, sf_dir), url_partitions=8))
+    res = extract_stage(pages_from_documents(spark, sf_dir), url_partitions=8)
+    res.rule_sentences = rule_sentences(
+        res.sentences,
+        # single-sentence docs: the [1:] boilerplate drop would delete
+        # every match (it exists for multi-sentence RFC documents)
+        drop_boilerplate=False,
+        pattern=r"(?i)\b(must|shall|should|may|stream|window)\b",
+        strong_pattern=r"(?i)\b(must|shall|stream)\b",
+    )
+    res = rules_stage(res)
     return check_entity_contradiction(res.rules)
+
+
+def q_kg_coref(spark, sf_dir):
+    """P9+M8: pronoun fan-out + windowed-context QA resolution, run over
+    the RFC correctness corpus (the synthetic documents are lowercase
+    word salad — the QA stub's capitalized-antecedent heuristic has
+    nothing to resolve there). QA model UDF -> rows-only check."""
+    from coap_rfc_knowledge_graph_spark.operators.coref import resolve_coreferences
+    from coap_rfc_knowledge_graph_spark.operators.sentences import extract_sentences
+    from coap_rfc_knowledge_graph_spark.sources.pages import rfc_pages
+
+    sents = extract_sentences(rfc_pages(spark), url_partitions=4)
+    return resolve_coreferences(sents, pronouns=["it", "they"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -360,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "kg_sentences": q_kg_sentences,
+        "kg_coref": q_kg_coref,
         "kg_triples": q_kg_triples,
         "kg_entities": q_kg_entities,
         "kg_contradictions": q_kg_contradictions,

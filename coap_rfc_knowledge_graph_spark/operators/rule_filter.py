@@ -19,9 +19,19 @@ from pyspark.sql import functions as F
 from ..config import MODAL_REGEX, STRONG_MODAL_REGEX
 
 
-def rule_sentences(sentences: DataFrame, drop_boilerplate: bool = True) -> DataFrame:
-    """sentences -> rule_sentences(url, sent_id, sentence, rule_num, is_strong)."""
-    flagged = sentences.filter(F.col("sentence").rlike(MODAL_REGEX))
+def rule_sentences(
+    sentences: DataFrame,
+    drop_boilerplate: bool = True,
+    pattern: str = MODAL_REGEX,
+    strong_pattern: str = STRONG_MODAL_REGEX,
+) -> DataFrame:
+    """sentences -> rule_sentences(url, sent_id, sentence, rule_num, is_strong).
+
+    ``pattern``/``strong_pattern`` default to the reference's RFC-2119
+    substring semantics; corpora with other norm vocabularies pass their
+    own regex (the operator shape — filter + boilerplate-drop window —
+    is the contract, the keyword list is data)."""
+    flagged = sentences.filter(F.col("sentence").rlike(pattern))
     w = Window.partitionBy("url").orderBy("sent_id")
     flagged = flagged.withColumn("rn", F.row_number().over(w))
     if drop_boilerplate:
@@ -29,5 +39,5 @@ def rule_sentences(sentences: DataFrame, drop_boilerplate: bool = True) -> DataF
     else:
         flagged = flagged.withColumn("rule_num", F.col("rn") - 1)
     return flagged.drop("rn").withColumn(
-        "is_strong", F.col("sentence").rlike(STRONG_MODAL_REGEX)
+        "is_strong", F.col("sentence").rlike(strong_pattern)
     )
