@@ -1,0 +1,39 @@
+"""spark-submit entry point: full KG construction with resumable stages.
+
+    spark-submit --py-files dist/coap_rfc_knowledge_graph_spark.zip \\
+        jobs/run_pipeline.py --pages <parquet path> --out <state root> \\
+        [--url-partitions N] [--resume]
+
+Reads the pages table, runs extract -> rules -> contradiction stages,
+writing each through the lineage-manifest StageStore (resume skips
+complete stages; see plans/checkpointing.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="pages table parquet path")
+    ap.add_argument("--out", required=True, help="stage-store root (checkpoints + outputs)")
+    ap.add_argument("--url-partitions", type=int, default=None)
+    ap.add_argument("--app-name", default="kg-construct")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from coap_rfc_knowledge_graph_spark.plans.checkpointing import run_resumable
+
+    spark = SparkSession.builder.appName(args.app_name).getOrCreate()
+    pages = spark.read.parquet(args.pages)
+    store = run_resumable(spark, pages, args.out, url_partitions=args.url_partitions)
+    for stage in ["sentences", "mentions", "triples", "entities", "rules", "edges", "contradictions"]:
+        m = store.manifest(stage)
+        print(f"{stage}: rows={m['row_count']} hash={m['table_hash']}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
