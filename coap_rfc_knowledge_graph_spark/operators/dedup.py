@@ -226,6 +226,8 @@ def minhash_lsh_pairs(
 def simhash_expr_udf(bits: int = 64, seed: int = 29):
     """Returns a pandas UDF computing a weighted-token simhash (long)."""
 
+    bit_positions = np.arange(bits, dtype=np.uint64)
+
     @pandas_udf(T.LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
         import zlib
@@ -236,21 +238,27 @@ def simhash_expr_udf(bits: int = 64, seed: int = 29):
             if not tokens:
                 out[row] = 0
                 continue
-            acc = np.zeros(bits, dtype=np.int64)
-            for tok, cnt in pd.Series(tokens).value_counts().items():
-                h1 = zlib.crc32((tok + str(seed)).encode("utf-8"))
-                h2 = zlib.adler32((str(seed) + tok).encode("utf-8"))
-                h = (np.int64(h1) << np.int64(32)) | np.int64(h2)
-                for bpos in range(bits):
-                    if (int(h) >> bpos) & 1:
-                        acc[bpos] += cnt
-                    else:
-                        acc[bpos] -= cnt
-            val = 0
-            for bpos in range(bits):
-                if acc[bpos] > 0:
-                    val |= 1 << bpos
-            out[row] = np.int64(np.uint64(val).astype(np.int64))
+            counts: dict[str, int] = {}
+            for tok in tokens:
+                counts[tok] = counts.get(tok, 0) + 1
+            hashes = np.fromiter(
+                (
+                    (zlib.crc32((tok + str(seed)).encode("utf-8")) << 32)
+                    | zlib.adler32((str(seed) + tok).encode("utf-8"))
+                    for tok in counts
+                ),
+                dtype=np.uint64,
+                count=len(counts),
+            )
+            weights = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+            # (n_tokens, bits) sign matrix in one vectorized shot
+            bits_mat = ((hashes[:, None] >> bit_positions[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = ((2 * bits_mat - 1) * weights[:, None]).sum(axis=0)
+            val = np.uint64(0)
+            positive = np.nonzero(acc > 0)[0]
+            for bpos in positive:
+                val |= np.uint64(1) << np.uint64(bpos)
+            out[row] = val.astype(np.int64)
         return pd.Series(out)
 
     return simhash_udf
