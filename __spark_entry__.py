@@ -189,8 +189,8 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """n-gram near-dup pairs with integer-threshold Jaccard >= 0.4
-    (5 * n_common >= 2 * (n_a + n_b - n_common))."""
+    """n-gram near-dup pairs with integer-threshold Jaccard >= 0.25
+    (4 * n_common >= (n_a + n_b - n_common))."""
     from coap_rfc_knowledge_graph_spark.operators.dedup import shingles_expr
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)

@@ -113,9 +113,14 @@ def check_sat(clauses: list[Clause], max_branches: int = 200_000) -> bool:
     for disjuncts in ors:
         total *= len(disjuncts)
     if total > max_branches:
-        # fall back to greedy per-clause: sound for sat detection in
-        # practice but cap is effectively unreachable for real groups
-        ors = ors[: max(1, len(ors) // 2)]
+        # dropping clauses would weaken the formula and could report SAT
+        # for an UNSAT system (silently missed contradictions). The cap
+        # is unreachable for real rule groups (tens of clauses), so fail
+        # loudly instead of guessing.
+        raise ValueError(
+            f"check_sat branch count {total} exceeds max_branches={max_branches}; "
+            "refusing to weaken the formula (raise max_branches or split the group)"
+        )
 
     def branch(i: int, acc: list[Atom]) -> bool:
         if i == len(ors):

@@ -205,16 +205,22 @@ _Q5_SCHEMA = T.StructType(
 )
 
 
-def check_direct_type3(rules: DataFrame, edges: DataFrame) -> DataFrame:
+def check_direct_type3(rules: DataFrame, edges: DataFrame, exclude_rules: DataFrame | None = None) -> DataFrame:
     """Q5: for each antecedent rule-node, pairwise unsat among its
     consequent neighbours (condition edges). The edge join keys the
     grouped check by antecedent instead of entity — same grouped-map
-    pattern, different partition key."""
+    pattern, different partition key. ``exclude_rules`` drops Q2-flagged
+    (self-contradictory) rules, as the reference does for every pairwise
+    check (``src/CoAP_contradiction_checking.py:603,734,824,925``)."""
     cond = edges.filter(F.col("relation") == "condition").select(
         F.col("src").alias("antecedent"), F.col("dst").alias("rule_id")
     )
     payload = _rules_payload(rules).select("rule_id", "clause_json")
     scoped = cond.join(payload, on="rule_id")
+    if exclude_rules is not None:
+        scoped = scoped.join(
+            F.broadcast(exclude_rules.select("rule_id")), on="rule_id", how="leftanti"
+        )
 
     def per_ante(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []

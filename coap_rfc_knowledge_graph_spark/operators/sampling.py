@@ -15,7 +15,7 @@ input (rand is seeded per-partition; we pin partitioning first).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -30,12 +30,13 @@ def rebalance_majority_class(
     majority-class rows (the reference's NO-RELATION -> 700 downsample).
     """
     minority = df.filter(F.col(label_col) != majority_label)
-    w = Window.partitionBy(F.lit(1)).orderBy(F.rand(seed), F.monotonically_increasing_id())
+    # orderBy + limit plans as TakeOrderedAndProject: each partition
+    # offers its local top-keep_n, the driver merges — no single-task
+    # global window (the previous Window.partitionBy(lit(1)) shape)
     majority = (
         df.filter(F.col(label_col) == majority_label)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= keep_n)
-        .drop("__rn")
+        .orderBy(F.rand(seed), F.monotonically_increasing_id())
+        .limit(keep_n)
     )
     return minority.unionByName(majority)
 

@@ -177,14 +177,17 @@ def query_stage(result: KGResult) -> KGResult:
     """EP3 step 7: the six contradiction checks."""
     assert result.rules is not None and result.edges is not None
     flagged = check_entity_contradiction(result.rules).persist()
-    bad_rules = check_single_rule_contradiction(result.rules, flagged)
+    bad_rules = check_single_rule_contradiction(result.rules, flagged).persist()
+    # the reference excludes Q2-flagged (self-contradictory) rules from
+    # ALL FOUR pairwise checks (CoAP_contradiction_checking.py:603,734,
+    # 824,925) — a self-contradictory rule is unsat against anything.
     result.findings = {
         "entity_contradictions": flagged,
         "single_rule_contradictions": bad_rules,
-        "direct_type_1": check_direct_type1(result.rules, flagged),
-        "direct_type_2": check_direct_type2(result.rules, flagged),
-        "direct_type_3": check_direct_type3(result.rules, result.edges),
-        "conditional": check_conditional(result.rules, flagged),
+        "direct_type_1": check_direct_type1(result.rules, flagged, exclude_rules=bad_rules),
+        "direct_type_2": check_direct_type2(result.rules, flagged, exclude_rules=bad_rules),
+        "direct_type_3": check_direct_type3(result.rules, result.edges, exclude_rules=bad_rules),
+        "conditional": check_conditional(result.rules, flagged, exclude_rules=bad_rules),
     }
     return result
 

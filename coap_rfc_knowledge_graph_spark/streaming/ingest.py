@@ -10,9 +10,11 @@ Two patterns:
   chain (sentences -> mentions -> pairs -> triples) is a deterministic
   per-document batch transform, so it rides in ``foreachBatch``: each
   micro-batch runs the SAME code as the batch pipeline (one source of
-  truth) and appends to the triples table. Exactly-once comes from the
-  streaming checkpoint (source offsets) + idempotent append of
-  url-keyed rows.
+  truth). Exactly-once comes from the streaming checkpoint (source
+  offsets) + an IDEMPOTENT per-batch write: each micro-batch overwrites
+  its own ``batch_id=N`` subdirectory, so a retried partially-written
+  batch replaces itself instead of duplicating rows; readers see the
+  union via partition discovery (``spark.read.parquet(output_dir)``).
 - :func:`windowed_event_counts` — watermark + tumbling-window
   aggregation over an event stream (late data dropped past the
   watermark), the standard stateful-agg shape for crawl telemetry.
@@ -67,8 +69,10 @@ def stream_triples(
                     explode=False,
                 )
             )
-        ).withColumn("batch_id", F.lit(batch_id))
-        triples.write.mode("append").parquet(output_dir)
+        )
+        # idempotent: a retry of this micro-batch overwrites the same
+        # subdirectory; batch_id resurfaces as a partition column on read
+        triples.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 
     writer = (
         pages_stream.writeStream.foreachBatch(process_batch)

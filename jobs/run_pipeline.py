@@ -20,6 +20,12 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="stage-store root (checkpoints + outputs)")
     ap.add_argument("--url-partitions", type=int, default=None)
     ap.add_argument("--app-name", default="kg-construct")
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="accepted for explicitness; resume is automatic — complete "
+        "stages are skipped via their lineage manifests either way",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession

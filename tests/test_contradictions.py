@@ -37,8 +37,11 @@ def rules_df(spark):
         # entity 1 "server": two directly contradicting unconditional rules
         _rule("u", 0, 0, "Entity rule", 1, "server", [("value", "=", 1.0)], n=1),
         _rule("u", 1, 0, "Entity rule", 1, "server", [("value", "=", 2.0)], n=2),
-        # entity 2 "token": self-contradictory single rule
+        # entity 2 "token": self-contradictory single rule + a sane rule
+        # (the pair would be spuriously flagged by Q3 without the
+        # reference's Q2-exclusion)
         _rule("u", 2, 0, "Entity rule", 2, "token", [("value", ">", 5.0), ("value", "<", 5.0)], n=1),
+        _rule("u", 7, 0, "Entity rule", 2, "token", [("value", "=", 3.0)], n=2),
         # entity 3 "client": consistent rules
         _rule("u", 3, 0, "Entity rule", 3, "client", [("value", ">", 0.0)], n=1),
         _rule("u", 4, 0, "Entity rule", 3, "client", [("value", "<", 10.0)], n=2),
@@ -68,7 +71,8 @@ def test_q2_single_rule(rules_df, flagged):
 
 def test_q3_direct_type1(rules_df, flagged):
     got = {(r["rule_a"], r["rule_b"]) for r in check_direct_type1(rules_df, flagged).collect()}
-    assert got == {("server rule 1", "server rule 2")}
+    # without exclusion the self-contradictory token rule pollutes pairs
+    assert got == {("server rule 1", "server rule 2"), ("token rule 1", "token rule 2")}
 
 
 def test_q3_exclusion_of_single_rule_contradictions(rules_df, flagged):
@@ -93,6 +97,45 @@ def test_q5_direct_type3(spark, rules_df):
     )
     got = {(r["rule_a"], r["rule_b"]) for r in check_direct_type3(rules_df, edges).collect()}
     assert got == {("option rule 1", "option rule 3")}
+
+
+def test_q5_exclusion(spark, rules_df, flagged):
+    # antecedent with two consequents, one self-contradictory: the pair
+    # is unsat only because of the Q2-flagged rule -> excluded
+    edges = spark.createDataFrame(
+        [
+            ("option rule 2", "token rule 1", "condition"),
+            ("option rule 2", "server rule 1", "condition"),
+        ],
+        "src string, dst string, relation string",
+    )
+    bad = check_single_rule_contradiction(rules_df, flagged)
+    assert check_direct_type3(rules_df, edges).count() == 1
+    assert check_direct_type3(rules_df, edges, exclude_rules=bad).count() == 0
+
+
+def test_query_stage_excludes_self_contradictory_rules(spark, rules_df):
+    """e2e: query_stage must pass Q2 findings as exclusions to all four
+    pairwise checks (ADVICE r1; ref CoAP_contradiction_checking.py:603,
+    734,824,925)."""
+    from coap_rfc_knowledge_graph_spark.plans.pipeline import KGResult, query_stage
+
+    res = KGResult(
+        sentences=rules_df, rule_sentences=rules_df, mentions=rules_df, triples=rules_df
+    )
+    res.rules = rules_df
+    res.edges = spark.createDataFrame(
+        [
+            ("option rule 2", "token rule 1", "condition"),
+            ("option rule 2", "server rule 1", "condition"),
+        ],
+        "src string, dst string, relation string",
+    )
+    res = query_stage(res)
+    d1 = {(r["rule_a"], r["rule_b"]) for r in res.findings["direct_type_1"].collect()}
+    assert ("server rule 1", "server rule 2") in d1
+    assert ("token rule 1", "token rule 2") not in d1
+    assert res.findings["direct_type_3"].count() == 0
 
 
 def test_q6_conditional_no_false_positive(rules_df, flagged):
