@@ -64,3 +64,11 @@ DEFAULT_URL_PARTITIONS = 32
 
 # salt buckets for the head-entity-skew link join (operators/linking.py)
 LINK_SALT_BUCKETS = 8
+
+# dictionary-size budget (rows) for driver-collect/broadcast paths in the
+# canonicalization + link stages. Below: broadcast-matmul link, driver-side
+# greedy resolve, brute-force candidate pairs. Above: LSH candidate pairs,
+# pointer-doubling resolve, distributed shuffle top-1 link + salted join-back.
+# Sized so the collected side stays well under typical 8 GiB driver/executor
+# budgets (rows * (surface bytes + EMBED_DIM floats) << 1 GiB).
+DICTIONARY_BROADCAST_MAX_ROWS = 2_000_000

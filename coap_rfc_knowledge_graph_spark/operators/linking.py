@@ -51,7 +51,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..config import EMBED_DIM, SIMILARITY_THRESHOLD
+from ..config import (
+    DICTIONARY_BROADCAST_MAX_ROWS,
+    EMBED_DIM,
+    LINK_SALT_BUCKETS,
+    SIMILARITY_THRESHOLD,
+)
 from ..functions import stub_models
 
 # --- N2: embedding UDF --------------------------------------------------------
@@ -83,19 +88,28 @@ def distinct_surfaces(mentions: DataFrame) -> DataFrame:
     )
 
 
-def embedded_surfaces(surfaces: DataFrame, scale_path: bool = False) -> DataFrame:
+def embedded_surfaces(surfaces: DataFrame, scale_path: bool = True) -> DataFrame:
     """surfaces + idx (first-seen rank, the reference's list index) + vec.
 
-    Default: a global total-order window — one task, fine for
-    dictionary-sized inputs (distinct surfaces, not corpus rows).
-    ``scale_path=True``: range-partitioned sort + RDD ``zipWithIndex``
-    (per-partition offsets, no single-task stage) for dictionaries that
-    outgrow one task; produces the identical index (pinned by test).
+    Default (``scale_path=True``): range-partitioned sort + RDD
+    ``zipWithIndex`` (per-partition offsets, no single-task stage) —
+    the embedding UDF then runs over ALL range partitions in parallel.
+    ``scale_path=False`` is the tiny-dictionary oracle: a global
+    total-order window (single-task sort) that produces the identical
+    index (pinned by test); it repartitions before embedding so even the
+    oracle path never embeds serially.
     """
+    spark = surfaces.sparkSession
+    # AQE coalesces the distinct() shuffle by BYTES, which under-counts
+    # the Python-UDF compute downstream — a dictionary that fits one
+    # 64 MB partition would embed serially. Spread over the cluster's
+    # cores explicitly; the embed cost dominates the tiny extra shuffle.
+    n_parts = max(
+        surfaces.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
+    )
     if scale_path:
-        spark = surfaces.sparkSession
         ordered = surfaces.repartitionByRange(
-            max(surfaces.rdd.getNumPartitions(), 1), "first_seen", "surface"
+            n_parts, "first_seen", "surface"
         ).sortWithinPartitions("first_seen", "surface")
         schema = ordered.schema.add("idx", "long")
         indexed = ordered.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
@@ -103,6 +117,7 @@ def embedded_surfaces(surfaces: DataFrame, scale_path: bool = False) -> DataFram
     else:
         w = Window.orderBy("first_seen", "surface")
         out = surfaces.withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
+        out = out.repartition(n_parts, "idx")
     return out.withColumn("vec", embed_udf(F.col("surface")))
 
 
@@ -272,15 +287,31 @@ def resolve_greedy_distributed(pairs: DataFrame, embedded: DataFrame, max_rounds
     return ptr.select("idx", F.col("ptr").alias("canon_idx"))
 
 
-def _build_canonical(mentions: DataFrame, use_lsh: bool = False, **lsh_kw):
+def _build_canonical(
+    mentions: DataFrame,
+    use_lsh: bool | None = None,
+    max_broadcast_surfaces: int = DICTIONARY_BROADCAST_MAX_ROWS,
+    **lsh_kw,
+):
     """Full N1->N3 chain. Returns (entities, members):
     entities(entity_id, canonical, vec) — one row per canonical surface,
     ``entity_id`` = the canonical surface's first-seen index (stable);
     members(entity_id, member_idx, surface) — every surface's assignment.
+
+    ``use_lsh=None`` auto-selects the scale path by dictionary size:
+    below ``max_broadcast_surfaces`` distinct surfaces the candidate
+    pairs come from the broadcast-matrix matmul and the greedy resolve
+    runs on the driver; above it, LSH bucket-join candidates + the
+    distributed pointer-doubling resolve (nothing driver-sized). The
+    count is one cheap job over the (persisted) dictionary.
     """
     emb = embedded_surfaces(distinct_surfaces(mentions)).persist()
+    n_surfaces = emb.count()  # dictionary-sized; also materializes the persist
+    if use_lsh is None:
+        use_lsh = n_surfaces > max_broadcast_surfaces
     pairs = candidate_pairs_lsh(emb, **lsh_kw) if use_lsh else candidate_pairs_bruteforce(emb)
-    resolved = resolve_greedy(pairs, emb)
+    resolver = resolve_greedy_distributed if use_lsh else resolve_greedy
+    resolved = resolver(pairs, emb)
     members = (
         emb.select("idx", "surface")
         .join(resolved, on="idx")
@@ -288,16 +319,19 @@ def _build_canonical(mentions: DataFrame, use_lsh: bool = False, **lsh_kw):
     )
     reps = emb.select(F.col("idx").alias("entity_id"), F.col("surface").alias("canonical"), "vec")
     entities = members.select("entity_id").distinct().join(reps, on="entity_id")
+    # dictionary-size hint for downstream link-path selection (an upper
+    # bound: canonical entities <= distinct surfaces); avoids a re-count
+    entities._kg_n_entities = n_surfaces  # type: ignore[attr-defined]
     return entities, members
 
 
-def canonical_entities(mentions: DataFrame, use_lsh: bool = False, **lsh_kw) -> DataFrame:
+def canonical_entities(mentions: DataFrame, use_lsh: bool | None = None, **lsh_kw) -> DataFrame:
     """mentions -> entities(entity_id long, canonical string, vec)."""
     entities, _ = _build_canonical(mentions, use_lsh=use_lsh, **lsh_kw)
     return entities
 
 
-def surface_to_entity(mentions: DataFrame, use_lsh: bool = False, **lsh_kw) -> DataFrame:
+def surface_to_entity(mentions: DataFrame, use_lsh: bool | None = None, **lsh_kw) -> DataFrame:
     """Map each distinct (lowercased) surface to its canonical entity:
     surface_map(surface, entity_id, canonical)."""
     entities, members = _build_canonical(mentions, use_lsh=use_lsh, **lsh_kw)
@@ -359,18 +393,108 @@ def link_surfaces(query_surfaces: DataFrame, entities: DataFrame, surface_col: s
     return query_surfaces.select(F.col(surface_col)).distinct().mapInPandas(score, schema)
 
 
-def link_mentions(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+def link_surfaces_distributed(
+    query_surfaces: DataFrame, entities: DataFrame, surface_col: str = "surface"
+) -> DataFrame:
+    """Exact N4 top-1 link WITHOUT collecting/broadcasting the canonical
+    dictionary — the can't-broadcast case of the north rule.
+
+    Shape: distinct query surfaces (embedded in parallel) x entities
+    shuffle join, native ``zip_with``/``aggregate`` dot product (whole-
+    stage codegen), then a ``max_by`` hash aggregate per surface —
+    partial aggregation reduces each partition to one candidate per
+    surface before the shuffle, so no partition ever holds a surface's
+    full candidate list (no ranking-window sort). Exact argmax costs
+    Q x E dots in either path; here the FLOPs spread over the cluster
+    instead of requiring the dictionary to fit one executor.
+
+    Tie-break matches :func:`link_surfaces`'s numpy argmax (first max =
+    lowest entity_id): ``max_by`` on (sim, -entity_id).
+    Output: (surface, entity_id, canonical, sim).
+    """
+    q = (
+        query_surfaces.select(F.col(surface_col).alias("surface"))
+        .distinct()
+        .withColumn("qv", embed_udf(F.col("surface")))
+    )
+    e = entities.select(
+        F.col("entity_id").alias("e_id"),
+        F.col("canonical").alias("e_canonical"),
+        F.col("vec").alias("ev"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "ev", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = q.crossJoin(e).withColumn("sim", dot)
+    best = F.max_by(
+        F.struct("e_id", "e_canonical", "sim"),
+        F.struct(F.col("sim"), (-F.col("e_id")).alias("nid")),
+    ).alias("best")
+    return (
+        scored.groupBy("surface")
+        .agg(best)
+        .select(
+            "surface",
+            F.col("best.e_id").alias("entity_id"),
+            F.col("best.e_canonical").alias("canonical"),
+            F.col("best.sim").alias("sim"),
+        )
+    )
+
+
+def _entity_count_hint(entities: DataFrame) -> int:
+    """Dictionary size for link-path selection; prefers the count stashed
+    by ``_build_canonical`` (upper bound) over a fresh job."""
+    n = getattr(entities, "_kg_n_entities", None)
+    return int(n) if n is not None else entities.count()
+
+
+def link_surfaces_auto(
+    query_surfaces: DataFrame,
+    entities: DataFrame,
+    surface_col: str = "surface",
+    max_broadcast_entities: int = DICTIONARY_BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """N4 link with automatic physical-path selection: broadcast matmul
+    while the dictionary fits the broadcast budget, distributed shuffle
+    argmax above it. Identical output either way (pinned by test)."""
+    if _entity_count_hint(entities) <= max_broadcast_entities:
+        return link_surfaces(query_surfaces, entities, surface_col)
+    return link_surfaces_distributed(query_surfaces, entities, surface_col)
+
+
+def link_mentions(
+    mentions: DataFrame,
+    entities: DataFrame,
+    max_broadcast_entities: int = DICTIONARY_BROADCAST_MAX_ROWS,
+) -> DataFrame:
     """mentions -> linked mentions(url, sent_id, begin, end, surface,
-    entity_id, canonical). The argmax runs per DISTINCT surface; the
-    join-back to the corpus-sized mentions table is a **broadcast**
-    equi-join (the surface map is dictionary-sized) — zero shuffle of the
-    big side, which is how head-entity skew is neutralised on the normal
-    path. ``salted_top1_join`` covers the can't-broadcast case."""
+    entity_id, canonical, sim). The argmax runs per DISTINCT surface.
+
+    Join-back selection mirrors the link itself: while the surface map
+    is dictionary-sized it is a **broadcast** equi-join (zero shuffle of
+    the big side — head-entity skew never materialises); past the
+    broadcast budget it becomes the north rule's **salted** shuffle join
+    (``salted_top1_join``), spreading each head surface over
+    ``LINK_SALT_BUCKETS`` reducers."""
     qs = mentions.select(F.lower(F.col("surface")).alias("q_surface"))
-    linked = link_surfaces(qs, entities, surface_col="q_surface")
-    return mentions.join(
-        F.broadcast(linked.withColumnRenamed("surface", "q_surface")),
-        on=F.lower(mentions["surface"]) == F.col("q_surface"),
+    broadcast_ok = _entity_count_hint(entities) <= max_broadcast_entities
+    if broadcast_ok:
+        linked = link_surfaces(qs, entities, surface_col="q_surface")
+        return mentions.join(
+            F.broadcast(linked.withColumnRenamed("surface", "q_surface")),
+            on=F.lower(mentions["surface"]) == F.col("q_surface"),
+        ).drop("q_surface")
+    linked = link_surfaces_distributed(qs, entities, surface_col="q_surface")
+    big = mentions.withColumn("q_surface", F.lower(F.col("surface")))
+    return salted_top1_join(
+        big,
+        linked.withColumnRenamed("surface", "q_surface"),
+        key="q_surface",
+        order_col="sim",
+        salt_buckets=LINK_SALT_BUCKETS,
     ).drop("q_surface")
 
 

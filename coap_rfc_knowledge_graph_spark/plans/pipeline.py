@@ -38,7 +38,12 @@ from ..operators.contradictions import (
     check_entity_contradiction,
     check_single_rule_contradiction,
 )
-from ..operators.linking import canonicalize_variables, link_surfaces, surface_to_entity
+from ..operators.linking import (
+    canonicalize_variables,
+    link_surfaces_auto,
+    salted_top1_join,
+    surface_to_entity,
+)
 from ..operators.mentions import extract_mentions
 from ..operators.properties import parse_atomic_rules
 from ..operators.relations import extract_triples_from_arrays
@@ -104,40 +109,55 @@ def extract_stage(pages: DataFrame, url_partitions: int | None = None) -> KGResu
     )
 
 
-def canonical_triples(result: KGResult) -> DataFrame:
+def canonical_triples(result: KGResult, max_broadcast_entities: int | None = None) -> DataFrame:
     """Rewrite triples' surfaces to canonical entity ids (N4 over both
     subj and obj): triples_canonical(subj_id, subj, pred, obj_id, obj,
-    url, sent_id). Broadcast surface->entity map; zero shuffle of
-    triples."""
+    url, sent_id). The surface->entity maps come from
+    ``link_surfaces_auto`` (broadcast matmul vs distributed argmax by
+    dictionary size); the join-back to the corpus-sized triples is
+    broadcast while the map fits the budget, salted shuffle otherwise."""
+    from ..config import DICTIONARY_BROADCAST_MAX_ROWS
+    from ..operators.linking import _entity_count_hint
+
+    budget = DICTIONARY_BROADCAST_MAX_ROWS if max_broadcast_entities is None else max_broadcast_entities
     t = result.triples
-    subj_map = link_surfaces(t.select(F.lower("subj").alias("surface")), result.entities)
-    obj_map = link_surfaces(t.select(F.lower("obj").alias("surface")), result.entities)
-    subj_b = F.broadcast(
-        subj_map.select(
-            F.col("surface").alias("subj_key"),
-            F.col("entity_id").alias("subj_id"),
-            F.col("canonical").alias("subj_canonical"),
-        )
+    entities = result.entities
+    broadcast_ok = _entity_count_hint(entities) <= budget
+    subj_map = link_surfaces_auto(
+        t.select(F.lower("subj").alias("surface")), entities, max_broadcast_entities=budget
+    ).select(
+        F.col("surface").alias("subj_key"),
+        F.col("entity_id").alias("subj_id"),
+        F.col("canonical").alias("subj_canonical"),
+        F.col("sim").alias("subj_sim"),
     )
-    obj_b = F.broadcast(
-        obj_map.select(
-            F.col("surface").alias("obj_key"),
-            F.col("entity_id").alias("obj_id"),
-            F.col("canonical").alias("obj_canonical"),
-        )
+    obj_map = link_surfaces_auto(
+        t.select(F.lower("obj").alias("surface")), entities, max_broadcast_entities=budget
+    ).select(
+        F.col("surface").alias("obj_key"),
+        F.col("entity_id").alias("obj_id"),
+        F.col("canonical").alias("obj_canonical"),
+        F.col("sim").alias("obj_sim"),
     )
-    return (
-        t.join(subj_b, F.lower(t["subj"]) == F.col("subj_key"))
-        .join(obj_b, F.lower(t["obj"]) == F.col("obj_key"))
-        .select(
-            "subj_id",
-            F.col("subj_canonical").alias("subj"),
-            "pred",
-            "obj_id",
-            F.col("obj_canonical").alias("obj"),
-            "url",
-            "sent_id",
+    if broadcast_ok:
+        joined = t.join(F.broadcast(subj_map), F.lower(t["subj"]) == F.col("subj_key")).join(
+            F.broadcast(obj_map), F.lower(t["obj"]) == F.col("obj_key")
         )
+    else:
+        joined = salted_top1_join(
+            t.withColumn("subj_key", F.lower("subj")), subj_map, key="subj_key", order_col="subj_sim"
+        )
+        joined = salted_top1_join(
+            joined.withColumn("obj_key", F.lower("obj")), obj_map, key="obj_key", order_col="obj_sim"
+        )
+    return joined.select(
+        "subj_id",
+        F.col("subj_canonical").alias("subj"),
+        "pred",
+        "obj_id",
+        F.col("obj_canonical").alias("obj"),
+        "url",
+        "sent_id",
     )
 
 
@@ -149,7 +169,10 @@ def rules_stage(result: KGResult) -> KGResult:
     atomic = parse_atomic_rules(behaviours)
 
     # N4: link each atomic rule's entity surface to its canonical entity
-    link = link_surfaces(
+    # (atomic is rule-sentence-sized — far smaller than mentions — so the
+    # broadcast join-back below is safe even when the link itself runs
+    # the distributed path)
+    link = link_surfaces_auto(
         atomic.select(F.col("entity_surface").alias("surface")), result.entities
     ).select(
         F.col("surface").alias("entity_surface"),

@@ -315,8 +315,40 @@ def test_encode_values_roundtrip(spark):
 
 def test_embedded_surfaces_scale_path_same_index(spark, mention_df):
     ds = distinct_surfaces(mention_df)
-    a = {r["surface"]: r["idx"] for r in embedded_surfaces(ds).collect()}
+    a = {r["surface"]: r["idx"] for r in embedded_surfaces(ds, scale_path=False).collect()}
     b = {r["surface"]: r["idx"] for r in embedded_surfaces(ds, scale_path=True).collect()}
+    assert a == b
+
+
+def test_link_broadcast_vs_distributed_parity(spark, mention_df):
+    """The can't-broadcast fallback (distributed argmax + salted
+    join-back) must produce byte-identical links to the broadcast path
+    (VERDICT r1 #2). sim is float32-matmul vs double-sum — compared via
+    the argmax identity (entity_id/canonical), not the raw float."""
+    from coap_rfc_knowledge_graph_spark.operators.linking import link_mentions
+
+    ents = canonical_entities(mention_df)
+    cols = ["url", "sent_id", "begin", "end", "surface", "entity_id", "canonical"]
+    a = {tuple(r) for r in link_mentions(mention_df, ents).select(cols).collect()}
+    b = {
+        tuple(r)
+        for r in link_mentions(mention_df, ents, max_broadcast_entities=0).select(cols).collect()
+    }
+    assert a == b and len(a) == mention_df.count()
+
+
+def test_canonical_auto_scale_path_parity(spark, mention_df):
+    """Forcing the above-budget path (LSH candidates + distributed
+    pointer-doubling resolve) yields the same surface->entity map as the
+    broadcast/driver path at recall-safe band settings."""
+    from coap_rfc_knowledge_graph_spark.operators.linking import _build_canonical
+
+    _, members_a = _build_canonical(mention_df)
+    _, members_b = _build_canonical(
+        mention_df, max_broadcast_surfaces=0, bands=24, rows_per_band=3
+    )
+    a = {(r["surface"], r["entity_id"]) for r in members_a.collect()}
+    b = {(r["surface"], r["entity_id"]) for r in members_b.collect()}
     assert a == b
 
 

@@ -73,6 +73,34 @@ def test_link_joinback_is_broadcast(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_embed_stage_runs_multiple_partitions(spark):
+    """VERDICT r1 #1 pin: the N2 embedding UDF must never run as a
+    single task downstream of a global window — the default
+    embedded_surfaces path has to keep the dictionary spread over >1
+    partition when the input has >1 partition."""
+    from coap_rfc_knowledge_graph_spark.operators.linking import (
+        distinct_surfaces,
+        embedded_surfaces,
+    )
+
+    mentions = (
+        spark.range(200)
+        .select(
+            F.concat(F.lit("u"), (F.col("id") % 8).cast("string")).alias("url"),
+            F.col("id").cast("int").alias("sent_id"),
+            F.lit(1).alias("begin"),
+            F.lit(2).alias("end"),
+            F.concat(F.lit("surface-"), F.col("id").cast("string")).alias("surface"),
+        )
+        .repartition(8)
+    )
+    emb = embedded_surfaces(distinct_surfaces(mentions))
+    assert emb.rdd.getNumPartitions() > 1
+    # and the rows actually land in more than one partition
+    sizes = emb.rdd.glom().map(len).collect()
+    assert sum(1 for s in sizes if s > 0) > 1, sizes
+
+
 def test_salted_join_spreads_key(spark):
     from coap_rfc_knowledge_graph_spark.operators.linking import salted_top1_join
 
