@@ -299,6 +299,81 @@ def q_media_features(spark, sf_dir):
     return extract_features(media).select("media_id", "mime", "n_bytes")
 
 
+def q_literal_overlap(spark, sf_dir):
+    """Q7: rule pairs sharing a variable — the real `literal_overlap`
+    operator (explode atoms -> distinct -> equi-self-join) over a
+    rules-shaped table derived natively from `events` so DuckDB can
+    reproduce it (ref CoAP_contradiction_checking.py:687-724)."""
+    from coap_rfc_knowledge_graph_spark.operators.contradictions import literal_overlap
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    rules = ev.select(
+        F.col("user_id").alias("entity_id"),
+        F.concat(F.lit("r"), F.col("event_id").cast("string")).alias("rule_id"),
+        F.array(
+            F.struct(
+                F.col("event_type").alias("var"),
+                F.lit("=").alias("op"),
+                F.col("value").alias("value_num"),
+            )
+        ).alias("atoms"),
+    )
+    return literal_overlap(rules)
+
+
+def _kg_findings(spark, sf_dir):
+    """Shared EP3 chain for the Q1-Q6 contract entries: extract ->
+    rules -> query_stage over the synthetic corpus (same corpus-
+    appropriate keyword pattern as q_kg_contradictions)."""
+    from coap_rfc_knowledge_graph_spark.operators.rule_filter import rule_sentences
+    from coap_rfc_knowledge_graph_spark.plans.pipeline import (
+        extract_stage,
+        query_stage,
+        rules_stage,
+    )
+    from coap_rfc_knowledge_graph_spark.sources.pages import (
+        contradiction_probe_pages,
+        pages_from_documents,
+    )
+
+    pages = pages_from_documents(spark, sf_dir).unionByName(contradiction_probe_pages(spark))
+    res = extract_stage(pages, url_partitions=8)
+    res.rule_sentences = rule_sentences(
+        res.sentences,
+        drop_boilerplate=False,
+        pattern=r"(?i)\b(must|shall|should|may|stream|window)\b",
+        strong_pattern=r"(?i)\b(must|shall|stream)\b",
+    )
+    return query_stage(rules_stage(res)).findings
+
+
+def q_kg_single_rule(spark, sf_dir):
+    """Q2: self-contradictory rules of flagged entities (solver UDF ->
+    rows-only)."""
+    return _kg_findings(spark, sf_dir)["single_rule_contradictions"]
+
+
+def q_kg_direct_type1(spark, sf_dir):
+    """Q3: pairwise unsat among unconditional rules (rows-only)."""
+    return _kg_findings(spark, sf_dir)["direct_type_1"]
+
+
+def q_kg_direct_type2(spark, sf_dir):
+    """Q4: entity rules x consequent rules pairwise (rows-only)."""
+    return _kg_findings(spark, sf_dir)["direct_type_2"]
+
+
+def q_kg_direct_type3(spark, sf_dir):
+    """Q5: per-antecedent consequent pairs via condition edges
+    (rows-only)."""
+    return _kg_findings(spark, sf_dir)["direct_type_3"]
+
+
+def q_kg_conditional(spark, sf_dir):
+    """Q6: entity rules x antecedent rules pairwise (rows-only)."""
+    return _kg_findings(spark, sf_dir)["conditional"]
+
+
 def q_kg_sentences(spark, sf_dir):
     """EP1 stage 1-2: pages -> sentences (document-at-a-time UDF; not
     SQL-expressible -> rows-only)."""
@@ -387,6 +462,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
+        "literal_overlap": q_literal_overlap,
+        "kg_single_rule": q_kg_single_rule,
+        "kg_direct_type1": q_kg_direct_type1,
+        "kg_direct_type2": q_kg_direct_type2,
+        "kg_direct_type3": q_kg_direct_type3,
+        "kg_conditional": q_kg_conditional,
         "kg_sentences": q_kg_sentences,
         "kg_coref": q_kg_coref,
         "kg_triples": q_kg_triples,
@@ -547,9 +628,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
             FROM f WHERE n_tokens >= 10 AND 10 * n_digit < n_chars
         """,
+        "literal_overlap": """
+            WITH vars AS (
+              SELECT DISTINCT user_id AS entity_id,
+                     'r' || CAST(event_id AS VARCHAR) AS rule_id,
+                     event_type AS var
+              FROM events WHERE event_id < 2000
+            )
+            SELECT a.entity_id, a.var, a.rule_id AS rule_a, b.rule_id AS rule_b
+            FROM vars a
+            JOIN vars b ON a.entity_id = b.entity_id AND a.var = b.var
+                       AND a.rule_id < b.rule_id
+        """,
         # minhash_near_dup, simhash_near_dup, ann_ivf_topk, media_features,
-        # kg_* : non-SQL-expressible (hash UDFs / model UDFs / solver) ->
-        # rows-only checks by design.
+        # kg_* (incl. the Q2-Q6 findings entries): non-SQL-expressible
+        # (hash UDFs / model UDFs / solver) -> rows-only checks by design.
     }
 
 

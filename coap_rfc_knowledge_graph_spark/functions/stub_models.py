@@ -209,7 +209,13 @@ def split_condition(sentence: str) -> list[tuple[str, str]]:
     conseq = re.sub(" +", " ", conseq)
     if not conseq:
         return [("Entity rule", sentence)]
-    return [("Antecedent rule", ante), ("Consequent rule", conseq)]
+    # the reference's generative splitter may emit MULTIPLE consequents
+    # for one antecedent ("possibly multiple A/C pairs",
+    # src/condition_split.py:60-66) — the '; also ' coordination is the
+    # stub's deterministic trigger for that shape (exercises the N10
+    # antecedent x consequents fan-out and Q5)
+    parts = [p.strip(" ,;") for p in re.split(r";\s*also\s+", conseq)]
+    return [("Antecedent rule", ante)] + [("Consequent rule", p) for p in parts if p]
 
 
 def split_condition_batch(sentences: list[str]) -> list[list[tuple[str, str]]]:

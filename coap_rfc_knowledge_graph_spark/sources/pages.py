@@ -130,6 +130,44 @@ def synthetic_pages(
     return rng.mapInPandas(gen, PAGES_SCHEMA)
 
 
+_CONTRADICTION_PROBES = [
+    # Q2: single self-contradictory rule (numeric-range branch, lo > hi)
+    ("q2-single-rule", "The broker count MUST be between 9 and 3."),
+    # Q4: unconditional entity rule vs a conditional consequent
+    (
+        "q4-entity-vs-consequent",
+        "The channel flag MUST be set to alpha. "
+        "If the reset occurs, the channel flag MUST be set to beta.",
+    ),
+    # Q5: one antecedent with two mutually-contradictory consequents
+    (
+        "q5-consequent-pair",
+        "When the beacon fires, the topic depth MUST be set to three; "
+        "also the topic depth MUST be set to nine.",
+    ),
+    # Q6: unconditional entity rule vs a conditional antecedent
+    (
+        "q6-entity-vs-antecedent",
+        "The session timer MUST be set to gamma. "
+        "When the session timer is set to delta, the endpoint MAY retry.",
+    ),
+]
+
+
+def contradiction_probe_pages(spark: SparkSession) -> DataFrame:
+    """Four deterministic probe pages, each crafted so the FULL pipeline
+    (sentences -> stub splitter -> N6 grammar -> solver) produces one
+    known contradiction family (Q2/Q4/Q5/Q6) — they make the driver's
+    findings entries non-vacuous on corpora that lack organic
+    conditional contradictions. Shapes mirror the reference's finding
+    kinds (``src/CoAP_contradiction_checking.py:543-1002``)."""
+    rows = [
+        (f"https://probe.example/{key}", _EPOCH, None, text, "en")
+        for key, text in _CONTRADICTION_PROBES
+    ]
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
 def full_corpus(spark: SparkSession, sf_dir: str | None = None, filler: int = 0, seed: int = 42) -> DataFrame:
     """rfc corpus (+ optional documents adaptation + filler), unioned by name."""
     df = rfc_pages(spark)

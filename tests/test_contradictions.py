@@ -151,6 +151,30 @@ def test_q7_literal_overlap(rules_df):
     assert all(a.split(" rule")[0] == b.split(" rule")[0] for a, b, _ in got)
 
 
+def test_contradiction_probes_drive_all_finding_kinds(spark):
+    """The four probe pages must produce >=1 finding in each Q2/Q4/Q5/Q6
+    family through the FULL pipeline (they back the driver-contract
+    kg_single_rule/kg_direct_type*/kg_conditional entries)."""
+    from coap_rfc_knowledge_graph_spark.operators.rule_filter import rule_sentences
+    from coap_rfc_knowledge_graph_spark.plans.pipeline import (
+        extract_stage,
+        query_stage,
+        rules_stage,
+    )
+    from coap_rfc_knowledge_graph_spark.sources.pages import contradiction_probe_pages
+
+    res = extract_stage(contradiction_probe_pages(spark), url_partitions=2)
+    # single-sentence probe docs: keep the first modal match
+    res.rule_sentences = rule_sentences(res.sentences, drop_boilerplate=False)
+    res = query_stage(rules_stage(res))
+    counts = {k: df.count() for k, df in res.findings.items()}
+    assert counts["single_rule_contradictions"] >= 1, counts
+    assert counts["direct_type_1"] >= 0  # Q3 comes from the corpus, not probes
+    assert counts["direct_type_2"] >= 1, counts
+    assert counts["direct_type_3"] >= 1, counts
+    assert counts["conditional"] >= 1, counts
+
+
 def test_pipeline_end_to_end(spark):
     from coap_rfc_knowledge_graph_spark.plans.pipeline import (
         canonical_triples,
