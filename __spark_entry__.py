@@ -274,11 +274,14 @@ def q_minhash_band_agreement(spark, sf_dir):
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only check)."""
+    """SimHash near-dup pairs (rows-only check; completeness vs native
+    all-pairs bit_count(xor) pinned in tests/test_training_data_ops.py).
+    max_hamming=7 is the banding ceiling at 64 bits with >= 8-bit chunks
+    — wider budgets would make candidate generation near-quadratic."""
     from coap_rfc_knowledge_graph_spark.operators.dedup import simhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    return simhash_near_duplicates(d, max_hamming=16)
+    return simhash_near_duplicates(d, max_hamming=7)
 
 
 def q_ann_ivf_topk(spark, sf_dir):

@@ -141,29 +141,34 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, sig array<long>) — k-shingle minhash. The shingle ->
-    base-int hash and the permutation mins run vectorized in one Arrow
-    batch (numpy); no shuffle at all in this stage."""
+    """(doc_id, sig array<long>) — k-shingle (utf-8 byte shingles of the
+    lowercased text) minhash. Everything runs vectorized per Arrow batch:
+    shingling is a zero-copy ``sliding_window_view``, the base hash an
+    FNV-style polynomial accumulated column-wise (k vector ops per doc,
+    no per-shingle Python), dedup a C-speed ``np.unique``, and the
+    permutation mins one (uniques x num_hashes) matmul-shaped pass. No
+    shuffle at all in this stage. Integer arithmetic wraps (uint64/int64)
+    deterministically — these are hashes, not field arithmetic."""
     a, b = _hash_params(num_hashes, seed)
+    _FNV = np.uint64(1099511628211)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            t = (t or "").lower()
-            if len(t) < k:
-                sh = {t}
+            arr = np.frombuffer((t or "").lower().encode("utf-8"), dtype=np.uint8)
+            if len(arr) < k:
+                # whole (short/empty) text is the single shingle
+                h = np.zeros(1, dtype=np.uint64)
+                for col in range(len(arr)):
+                    h = h * _FNV + arr[col]
             else:
-                sh = {t[i : i + k] for i in range(len(t) - k + 1)}
-            # stable 61-bit base hash per shingle via Python's crc-free md5-less
-            # path: use numpy int64 of builtin hash is salted -> use crc32-of-bytes
-            import zlib
-
-            base = np.fromiter(
-                ((zlib.crc32(s.encode("utf-8")) << 29) ^ zlib.adler32(s.encode("utf-8")) for s in sh),
-                dtype=np.int64,
-                count=len(sh),
-            ) % _MERSENNE
+                w = np.lib.stride_tricks.sliding_window_view(arr, k)
+                h = np.zeros(len(w), dtype=np.uint64)
+                for col in range(k):
+                    h = h * _FNV + w[:, col]
+                h = np.unique(h)
+            base = (h % np.uint64(_MERSENNE)).astype(np.int64)
             # (a * h + b) mod p per permutation, min over shingles
             sims = (base[:, None] * a[None, :] + b[None, :]) % _MERSENNE
             out.append(sims.min(axis=0).astype(np.int64))
@@ -270,15 +275,30 @@ def simhash_near_duplicates(
     bits: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_chunk_bits: int = 8,
 ) -> DataFrame:
     """Pairs at hamming distance <= max_hamming: (doc_a, doc_b, hamming).
 
     Pigeonhole banding: split the fingerprint into max_hamming+1 chunks;
     any pair within distance k agrees on >= 1 chunk -> equi-join per
-    chunk, verify exact hamming natively (bit_count(xor))."""
-    sim = docs.select(F.col(id_col).alias("doc_id"), simhash_expr_udf(bits)(F.col(text_col)).alias("sh"))
+    chunk, verify exact hamming natively (bit_count(xor)).
+
+    Scale guard: chunk width must stay >= ``min_chunk_bits`` — narrow
+    chunks (e.g. 64 bits / 17 chunks = 3 bits -> 8 buckets per chunk)
+    make candidate generation near-quadratic, silently (VERDICT r1 #3).
+    The pigeonhole guarantee needs max_hamming+1 chunks, so the honest
+    ceiling at 64 bits / 8-bit chunks is max_hamming <= 7; larger budgets
+    need a different structure (embedding LSH or multi-index), not this
+    operator with its guarantee quietly degraded."""
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
+    if chunk_bits < min_chunk_bits:
+        raise ValueError(
+            f"simhash banding degenerates: {bits} bits / {chunks} chunks = "
+            f"{chunk_bits}-bit chunks (< {min_chunk_bits}); cap max_hamming at "
+            f"{bits // min_chunk_bits - 1} or pass a smaller min_chunk_bits explicitly"
+        )
+    sim = docs.select(F.col(id_col).alias("doc_id"), simhash_expr_udf(bits)(F.col(text_col)).alias("sh"))
     mask = (1 << chunk_bits) - 1
     banded = sim.select(
         "doc_id",
@@ -322,16 +342,43 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    method: str = "auto",
+    max_bruteforce_rows: int = 100_000,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    seed: int = 7,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold over an embedding
-    column: (id_a, id_b, cosine). Normalizes, then an all-pairs join
-    (small-side broadcast under AQE) with a native dot product; at scale
-    swap the join for ``similarity.lsh_topk``'s bucketed variant."""
+    column: (id_a, id_b, cosine).
+
+    ``method='exact'``: normalize + all-pairs join with a native dot —
+    O(n^2), the small-n oracle. ``method='lsh'``: random-hyperplane band
+    buckets (``linking.candidate_pairs_lsh``) — the only shuffle is on
+    (band, sig) keys, the 10^12-row path; recall is 1-(1-p^r)^b per pair
+    (p = 1 - theta/pi), ~1.0 at these defaults for threshold >= 0.9.
+    ``method='auto'`` picks by a row count against
+    ``max_bruteforce_rows`` (one cheap count job)."""
     norm = F.sqrt(F.aggregate(F.transform(vec_col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     unit = embeddings.select(
         F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: x / norm).alias("v"),
+        F.transform(vec_col, lambda x: (x / norm).cast("float")).alias("v"),
     )
+    if method == "auto":
+        method = "exact" if unit.count() <= max_bruteforce_rows else "lsh"
+    if method == "lsh":
+        from .linking import candidate_pairs_lsh
+
+        emb = unit.select(F.col("id").alias("idx"), F.col("v").alias("vec"))
+        pairs = candidate_pairs_lsh(
+            emb, threshold=threshold, bands=bands, rows_per_band=rows_per_band,
+            seed=seed, dim=dim,
+        )
+        # candidate_pairs_lsh filters sim > threshold (strict); re-apply
+        # this operator's >= contract on the exact cosine
+        return pairs.select(
+            F.col("i").alias("id_a"), F.col("j").alias("id_b"), F.col("sim").alias("cosine")
+        ).filter(F.col("cosine") >= threshold)
     a = unit.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = unit.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)

@@ -166,12 +166,18 @@ def _rand_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float32)
 
 
-def with_lsh_bands(embedded: DataFrame, bands: int = 16, rows_per_band: int = 4, seed: int = 7) -> DataFrame:
+def with_lsh_bands(
+    embedded: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 7,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
     """Attach (band, sig) columns: sign-of-projection bits against
     ``bands*rows_per_band`` random hyperplanes, packed per band. Rows in
     the same (band, sig) bucket are candidate near-neighbours (random
     hyperplane LSH ~ SimHash; collision prob per bit = 1 - theta/pi)."""
-    planes = _rand_planes(EMBED_DIM, bands * rows_per_band, seed)
+    planes = _rand_planes(dim, bands * rows_per_band, seed)
     spark = embedded.sparkSession
     bplanes = spark.sparkContext.broadcast(planes)
     nb, rpb = bands, rows_per_band
@@ -179,7 +185,7 @@ def with_lsh_bands(embedded: DataFrame, bands: int = 16, rows_per_band: int = 4,
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(vecs: pd.Series) -> pd.Series:
         p = bplanes.value
-        mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs]) if len(vecs) else np.zeros((0, EMBED_DIM))
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs]) if len(vecs) else np.zeros((0, dim))
         bits = (mat @ p.T) > 0  # (batch, nb*rpb)
         weights = 1 << np.arange(rpb, dtype=np.int64)
         sigs = bits.reshape(len(vecs), nb, rpb) @ weights  # (batch, nb)
@@ -194,6 +200,7 @@ def candidate_pairs_lsh(
     bands: int = 16,
     rows_per_band: int = 4,
     seed: int = 7,
+    dim: int = EMBED_DIM,
 ) -> DataFrame:
     """Scale path for N3: LSH-bucket equi-join -> exact-cosine verify.
 
@@ -201,7 +208,7 @@ def candidate_pairs_lsh(
     native (``zip_with`` + ``aggregate`` — whole-stage codegen, no
     Python). Pairs found in multiple bands are deduped by (i, j).
     """
-    sig = with_lsh_bands(embedded, bands, rows_per_band, seed)
+    sig = with_lsh_bands(embedded, bands, rows_per_band, seed, dim=dim)
     sig = sig.select("idx", "vec", F.posexplode("sigs").alias("band", "sig"))
     a = sig.select(F.col("idx").alias("i"), F.col("vec").alias("va"), "band", "sig")
     b = sig.select(F.col("idx").alias("j"), F.col("vec").alias("vb"), "band", "sig")

@@ -78,10 +78,72 @@ def test_minhash_signature_stability(spark, docs):
 
 
 def test_simhash_near_duplicates(spark, docs):
-    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_duplicates(docs, max_hamming=10).collect()}
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_duplicates(docs, max_hamming=7).collect()}
     assert got.get((0, 1)) == 0
     assert (0, 2) in got
     assert (0, 4) not in got
+
+
+def test_simhash_banding_guard_rejects_narrow_chunks(spark, docs):
+    """64 bits / 17 chunks = 3-bit chunks -> near-quadratic candidates;
+    the operator must refuse rather than silently degrade (VERDICT r1 #3)."""
+    with pytest.raises(ValueError, match="banding degenerates"):
+        simhash_near_duplicates(docs, max_hamming=16)
+
+
+def test_simhash_banding_completeness_vs_allpairs(spark):
+    """Pigeonhole guarantee: the banded join finds EVERY pair at hamming
+    <= max_hamming — verified against a native all-pairs
+    bit_count(xor) scan on the same fingerprints."""
+    from coap_rfc_knowledge_graph_spark.operators.dedup import simhash_expr_udf
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+    k = 7
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_duplicates(docs, max_hamming=k).collect()
+    }
+    sim = docs.select("doc_id", simhash_expr_udf(64)(F.col("text")).alias("sh"))
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    allpairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= k)
+        .collect()
+    }
+    assert banded == allpairs and len(allpairs) > 0
+
+
+def test_embedding_near_dup_lsh_matches_exact(spark):
+    """VERDICT r1 #7: the LSH-bucketed embedding near-dup path must
+    recover the exact path's pairs at recall-safe settings, with no
+    cartesian/nested-loop join in its plan."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.Philox(key=11))
+    base = rng.standard_normal((100, 64)).astype("float32")
+    near = base[:10] + rng.standard_normal((10, 64)).astype("float32") * 0.02
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)] + [
+        (100 + i, [float(x) for x in v]) for i, v in enumerate(near)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(e, threshold=0.9, method="exact").collect()
+    }
+    lsh_df = embedding_near_duplicates(e, threshold=0.9, method="lsh")
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_df.collect()}
+    assert exact == lsh and len(exact) >= 10
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_embedding_near_duplicates(spark):
