@@ -4,9 +4,11 @@ Re-implements, as pure Python run one-document-at-a-time inside a pandas
 UDF, the reference preprocessing semantics:
 
 - RFC txt path  : ``src/prepare_pretrain_data.py:10-103`` (P1-P5 in SURVEY.md)
-- PDF-spec path : ``src/prepare_pretrain_data.py:115-160`` (P6-P7) -- the
-  line-filter/cleanup stages are real; actual PDF byte decoding is stubbed
-  (pdfplumber is not available in this environment, see ``decode_pdf``).
+- PDF-spec path : ``src/prepare_pretrain_data.py:115-160`` (S2+P6-P7) --
+  PDF bytes are decoded by the vendored pure-Python extractor in
+  :mod:`.pdf_text` (pdfplumber is not installable here); the MQTT path
+  including the positional ``[:46]+[49:]`` splice reproduces the
+  reference's frozen corpus block sentence-for-sentence.
 - generic web path: the cleanup pipeline applied to Common-Crawl-style
   pages (html tag strip + the P6-style line cleanup + P7 sentence cleanup).
 
@@ -27,12 +29,21 @@ import re
 # --- sentence tokenizer ----------------------------------------------------
 
 # Abbreviations that never end a sentence (lower-cased, no trailing dot).
+# Deliberately NOT here: "e.g"/"i.e" — the pretrained Punkt english model
+# splits after bare "e.g." even before a lowercase token (rfc8613:
+# "...a new security context, e.g. / as described in Appendix B.2.");
+# the common "e.g.,"/"i.e.," forms never reach the period rule at all.
 _ABBREVIATIONS = frozenset(
     {
-        "e.g", "i.e", "cf", "vs", "al", "fig", "sec", "no",
+        "cf", "vs", "al", "fig", "sec", "no",
         "resp", "approx", "incl", "rev", "ver", "st", "mr", "ms", "dr",
     }
 )
+
+# Capitalized tokens Punkt's pretrained model treats as frequent sentence
+# starters: after an initial ("...with: A.") these force a boundary, while
+# unknown capitalized words ("OSCORE") do not.
+_SENT_STARTERS = frozenset({"If", "In", "The", "For"})
 
 _OPENERS = "\"'([{"
 _CLOSERS = "\"')]}"
@@ -49,11 +60,15 @@ def _word_before(text: str, idx: int) -> str:
 def sent_tokenize(text: str) -> list[str]:
     """Deterministic Punkt-like sentence splitter.
 
-    A candidate boundary is ``.``/``!``/``?`` (plus trailing closers)
-    followed by whitespace and an upper-case letter, digit+``.`` heading,
-    or an opener. Candidates are suppressed after known abbreviations,
-    single capital initials ("B. Frank"), and dotted tokens like "7.1"
-    or "e.g." (token containing an interior dot).
+    Mirrors Punkt's first-pass decision rule (the one nltk's pretrained
+    ``english.pickle`` applies to token-final periods): a ``.`` after a
+    token that is not a known abbreviation, a single-letter initial, or a
+    number is a sentence boundary *regardless of the case of the next
+    token* (nltk splits "accept it. error 0x87 ..." before lowercase
+    "error"). Abbreviation lookup is on the raw token — a leading opener
+    defeats it, so "(e.g." splits while "e.g." does not, exactly as the
+    pretrained Punkt model behaves. Ambiguous candidates (ellipsis runs,
+    numeric tokens) still require an upper/digit/opener/bullet start.
     """
     sentences: list[str] = []
     n = len(text)
@@ -71,7 +86,7 @@ def sent_tokenize(text: str) -> list[str]:
         end = j
         while end < n and text[end] in _CLOSERS:
             end += 1
-        # must be followed by whitespace then a plausible sentence opener
+        # must be followed by whitespace (token-final punctuation)
         k = end
         while k < n and text[k].isspace():
             k += 1
@@ -81,33 +96,39 @@ def sent_tokenize(text: str) -> list[str]:
                 break
             continue
         nxt = text[k]
-        # "o "/"* " are RFC bullet markers: Punkt splits before bullets
-        is_bullet = nxt in "o*" and k + 1 < n and text[k + 1].isspace()
-        if not (nxt.isupper() or nxt in _OPENERS or nxt.isdigit() or is_bullet):
-            i = end
-            continue
-        if c == "." and j - i == 1:
+        # "•" bullets start sentences; lowercase "o "/"* " RFC bullets only
+        # rescue ambiguous (ellipsis) candidates — after a NUMBER Punkt
+        # merges "...range 0 to 63. o Name: ..." (lowercase next, no break)
+        is_bullet = (nxt in "o*" and k + 1 < n and text[k + 1].isspace()) or nxt == "•"
+        nxt_ok = nxt.isupper() or nxt in _OPENERS or nxt.isdigit() or nxt == "•"
+        if j - i > 1:
+            # ellipsis / "?!" runs: ambiguous, need a sentence-looking start
+            if not (nxt_ok or is_bullet):
+                i = end
+                continue
+        elif c == ".":
             word = _word_before(text, i)
             if word and word[-1] in _CLOSERS:
                 word = ""  # ".)"-style: period outside the bracket -> boundary
-            bare = word.rstrip(".").lstrip("\"'([{")
-            low = bare.lower()
-            # a pure dotted-number token ("1.1.", "Section 5.1.") is a
-            # boundary — Punkt splits after numeric references
-            word_start = i - len(word)
-            numeric_heading = bare != "" and all(ch.isdigit() or ch == "." for ch in bare)
+            low = word.lower()
+            numeric = word != "" and all(ch.isdigit() or ch in ".," for ch in word)
             if low in _ABBREVIATIONS:
-                i = end
+                i = end  # known abbreviation (raw token: "(e.g" fails -> split)
                 continue
-            if len(bare) == 1 and bare.isupper():
-                # single initial ("B. Frank") — except document references
-                # like "Appendix A.", which Punkt treats as boundaries
-                prev = _word_before(text, word_start - 1) if word_start > 0 else ""
-                if prev not in ("Appendix", "Annex"):
+            if len(word) == 1 and word.isalpha():
+                # single initial ("B. Frank", "step A.") — boundary only
+                # before a frequent sentence starter ("A. If ...", rfc8613
+                # appendix steps; "Appendix A. The ..." rfc8974) — unknown
+                # capitalized words ("Appendix A. OSCORE ...") merge
+                nxt_word = text[k:k + 12].split()[0] if text[k:] else ""
+                if nxt_word.rstrip(",.;:").strip("\"'()[]") not in _SENT_STARTERS:
                     i = end
                     continue
-            elif "." in bare and not bare.endswith("..") and not numeric_heading:
-                i = end  # dotted token: "7.1bis", "e.g", mid-line "5.1."
+            elif numeric and (nxt.isalpha() and not nxt.isupper()):
+                # number+period: Punkt merges before a lowercase word
+                # ("...range 0 to 63. o Name: ...") but breaks before
+                # symbols/figure-art (ortho-unknown -> break)
+                i = end
                 continue
         sentences.append(text[start:end])
         start = k
@@ -213,15 +234,55 @@ def _clean_rfc_sentences(sentences: list[str]) -> list[str]:
 # --- PDF-spec path (P6-P7) ---------------------------------------------------
 
 
-def decode_pdf(data: bytes) -> list[str]:  # pragma: no cover - stub
+def decode_pdf(data: bytes, first: int = 0, last: int | None = None) -> list[str]:
     """Decode PDF bytes to text lines (pdfplumber page-range semantics,
-    ``src/prepare_pretrain_data.py:115-119``). pdfplumber is not installed
-    in this container; the Spark-side plumbing (binary column -> pandas UDF
-    -> line cleanup) is real and tested with the txt/html paths."""
-    raise NotImplementedError(
-        "PDF decoding requires pdfplumber; install it and ship via "
-        "spark-submit --archives. Line/sentence cleanup stages are "
-        "implemented and tested independently of the decoder."
+    ``src/prepare_pretrain_data.py:115-119``), via the vendored pure-Python
+    extractor in :mod:`.pdf_text` (ISO 32000-1 subset; reproduces
+    ``extract_text(layout=False)`` for Office-generated documents)."""
+    from .pdf_text import pdf_page_lines
+
+    return pdf_page_lines(data, first, last)
+
+
+def extract_mqtt_sentences(data: bytes) -> list[str]:
+    """Full MQTT-spec path S2+P6+P7 — ``src/prepare_pretrain_data.py:115-160``:
+    pages[10:118] -> line cleanup (drop "mqtt-v5"/"Standards Track Work
+    Product" boilerplate, strip margin line numbers) -> sentence split ->
+    P7 cleanup -> the reference's positional reference-splice
+    ``[:46] + [49:]`` (drops three front-matter citation sentences).
+
+    Reproduces ``data/pretrain_sentences.txt`` block 4 sentence-for-sentence
+    (tests/test_pdf_text.py::test_mqtt_pdf_matches_reference_corpus).
+    """
+    lines = decode_pdf(data, 10, 118)
+    cleaned = clean_spec_lines(lines, ("mqtt-v5", "Standards Track Work Product"))
+    sentences = sent_tokenize("\n".join(cleaned))
+    sentences = clean_spec_sentences(sentences, drop_contains=("Figure",))
+    return sentences[:46] + sentences[49:]
+
+
+def extract_amqp_sentences(data: bytes) -> list[str]:
+    """AMQP-spec path — ``src/prepare_pretrain_data.py:163-238``:
+    pages[16:119] -> line cleanup (boilerplate prefixes incl. the XML-ish
+    type/encoding/descriptor fragments and hex dump lines) -> split ->
+    P7 cleanup with the AMQP-specific sentence drops (XML leftovers,
+    ASCII-art arrows/tables). The reference's AMQP source PDF is not part
+    of its frozen test data, so this path is pinned structurally
+    (tests/test_pdf_text.py) rather than against a frozen corpus block.
+    """
+    lines = decode_pdf(data, 16, 119)
+    cleaned = clean_spec_lines(
+        lines,
+        (
+            "amqp-core", "PART", "0x", "<type", "label=", "<encoding",
+            "<descriptor", "Standards Track Work Product",
+        ),
+    )
+    sentences = sent_tokenize("\n".join(cleaned))
+    return clean_spec_sentences(
+        sentences,
+        drop_contains=("Figure", "-->", "--+", "||"),
+        drop_startswith=("</type>", "<field"),
     )
 
 
@@ -316,12 +377,26 @@ def extract_document(url: str, html: bytes | None, text: str | None, lang: str |
     """One page -> sentence list. Routing:
 
     - url containing a known rfc id -> the RFC txt contract (byte-identical path)
+    - PDF magic in the binary column -> the spec-PDF path (MQTT page-range
+      semantics for the known spec, generic full-document decode otherwise)
     - text present -> generic web path
     - html present only -> strip_html then generic web path
     """
     for key, (author, heading) in RFC_HEADINGS.items():
         if key in url and text is not None:
             return extract_rfc_sentences(text, author, heading)
+    if html and html[:5] == b"%PDF-":
+        try:
+            low = url.lower()
+            if "mqtt" in low:
+                return extract_mqtt_sentences(html)
+            if "amqp" in low:
+                return extract_amqp_sentences(html)
+            lines = clean_spec_lines(decode_pdf(html), drop_prefixes=())
+            sentences = sent_tokenize("\n".join(lines))
+            return clean_spec_sentences(sentences, drop_contains=("Figure",))
+        except Exception:
+            return []  # malformed PDF: skip the document, don't kill the task
     if text:
         return extract_web_sentences(text)
     if html:

@@ -14,6 +14,8 @@ so the model loads once per executor, not once per batch).
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,6 +51,93 @@ def _mentions_udf(sentences: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _stub_loader():
+    """Default model factory: the deterministic rule tagger. Returns a
+    ``tag(token_lists) -> tag_lists`` callable."""
+    return stub_models.tag_batch
+
+
+def _hf_loader():  # pragma: no cover - requires transformers+torch
+    """Real-model factory for the swap point: loads the checkpoint named
+    by ``$SPARK_GRAFT_HF_MODEL`` ONCE per task (the iterator UDF calls the
+    factory outside the batch loop), mirroring the reference's
+    ``BertForTokenClassification`` batch scoring
+    (``src/extract_all_MQTT_entities.py:86-102``)."""
+    import os
+
+    import torch
+    from transformers import AutoModelForTokenClassification, AutoTokenizer
+
+    name = os.environ["SPARK_GRAFT_HF_MODEL"]
+    tok = AutoTokenizer.from_pretrained(name)
+    model = AutoModelForTokenClassification.from_pretrained(name)
+    model.eval()
+
+    def tag(token_lists):
+        texts = [" ".join(t for t in toks if t not in ("[CLS]", "[SEP]", "[PAD]")) for toks in token_lists]
+        enc = tok(texts, return_tensors="pt", padding=True, truncation=True)
+        with torch.no_grad():
+            pred = model(**enc).logits.argmax(-1)
+        out = []
+        for i, toks in enumerate(token_lists):
+            ids = pred[i].tolist()
+            labels = [model.config.id2label.get(j, "O") for j in ids]
+            # align to our token count; surplus model positions are dropped
+            out.append((labels + ["O"] * len(toks))[: len(toks)])
+        return out
+
+    return tag
+
+
+def make_mentions_udf(model_loader=_stub_loader):
+    """Iterator-form pandas UDF (``Iterator[Series] -> Iterator[Series]``):
+    the model factory runs once per TASK, then scores every Arrow batch —
+    the load-once/score-many pattern a broadcast torch checkpoint needs.
+    ``model_loader`` must be a top-level (pickle-able) zero-arg callable.
+    """
+
+    @pandas_udf(MENTION_STRUCT)
+    def udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        tag = model_loader()  # once per task, NOT per batch
+        for sentences in batches:
+            token_lists = [tokenizer.tokenize(s, pad=False) for s in sentences]
+            tag_lists = tag(token_lists)
+            out = []
+            for toks, tags in zip(token_lists, tag_lists):
+                row = []
+                for b, e in stub_models.decode_spans(tags):
+                    surface = tokenizer.decode_span(toks, b, e)
+                    if surface != "":
+                        row.append((b, e, surface))
+                out.append(row)
+            yield pd.Series(out)
+
+    return udf
+
+
+def extract_mentions_with_model(sentences: DataFrame, model_loader=_stub_loader,
+                                explode: bool = True) -> DataFrame:
+    """:func:`extract_mentions` with a pluggable model factory via the
+    iterator-UDF swap point (``_hf_loader`` for a real HF checkpoint)."""
+    with_arr = sentences.withColumn("mentions", make_mentions_udf(model_loader)(F.col("sentence")))
+    if not explode:
+        return with_arr
+    return _explode_mentions(with_arr)
+
+
+def _explode_mentions(with_arr: DataFrame) -> DataFrame:
+    """explode_outer + post-filter instead of explode: plain ``explode``
+    makes InferFiltersFromGenerate push a ``size(udf(...)) > 0`` predicate
+    below the Generate, DUPLICATING the tagger UDF evaluation (two
+    ArrowEvalPython nodes; pinned by tests/test_plans.py). The null-drop
+    filter on the generated attribute cannot sink below the Generate."""
+    return (
+        with_arr.select("url", "sent_id", F.explode_outer("mentions").alias("m"))
+        .where(F.col("m").isNotNull())
+        .select("url", "sent_id", "m.begin", "m.end", "m.surface")
+    )
+
+
 def extract_mentions(sentences: DataFrame, explode: bool = True) -> DataFrame:
     """sentences -> mentions(url, sent_id, begin, end, surface).
 
@@ -57,7 +146,4 @@ def extract_mentions(sentences: DataFrame, explode: bool = True) -> DataFrame:
     with_arr = sentences.withColumn("mentions", _mentions_udf(F.col("sentence")))
     if not explode:
         return with_arr
-    return (
-        with_arr.select("url", "sent_id", F.explode("mentions").alias("m"))
-        .select("url", "sent_id", "m.begin", "m.end", "m.surface")
-    )
+    return _explode_mentions(with_arr)

@@ -155,9 +155,9 @@ def run_resumable(
     sentences = stage("sentences", lambda: extract_sentences(pages, url_partitions=url_partitions), ["pages"])
     mentions_arr = stage("mentions", lambda: extract_mentions(sentences, explode=False), ["sentences"])
     triples = stage("triples", lambda: extract_triples_from_arrays(mentions_arr), ["mentions"])
-    mentions = mentions_arr.select("url", "sent_id", F.explode("mentions").alias("m")).select(
-        "url", "sent_id", "m.begin", "m.end", "m.surface"
-    )
+    from ..operators.mentions import _explode_mentions
+
+    mentions = _explode_mentions(mentions_arr)  # explode_outer: no UDF re-eval
     entities = stage("entities", lambda: canonical_entities(mentions), ["mentions"])
 
     def build_rules_df():

@@ -94,9 +94,9 @@ def extract_stage(pages: DataFrame, url_partitions: int | None = None) -> KGResu
     sentences = sentences.persist()  # feeds 4 downstream branches
     rules_s = rule_sentences(sentences)
     mentions_arr = extract_mentions(sentences, explode=False).persist()
-    mentions = mentions_arr.select(
-        "url", "sent_id", F.explode("mentions").alias("m")
-    ).select("url", "sent_id", "m.begin", "m.end", "m.surface")
+    from ..operators.mentions import _explode_mentions
+
+    mentions = _explode_mentions(mentions_arr)  # explode_outer: no UDF re-eval
     triples = extract_triples_from_arrays(mentions_arr)
     from ..operators.linking import canonical_entities  # local: avoids cycle
 

@@ -137,3 +137,16 @@ def test_text_stats_are_pure_catalyst(spark):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_mention_explode_evaluates_udf_once(spark):
+    """explode over a UDF array column makes InferFiltersFromGenerate
+    push size(udf(...)) > 0 below the Generate, duplicating the tagger
+    (two ArrowEvalPython nodes). _explode_mentions (explode_outer +
+    null-drop above the Generate) must keep it to ONE evaluation."""
+    sents = spark.createDataFrame(
+        [("u1", 0, "The CoAP server MUST send a Reset message.")],
+        "url string, sent_id long, sentence string",
+    )
+    tree = str(extract_mentions(sents)._jdf.queryExecution().executedPlan())
+    assert tree.count("ArrowEvalPython") == 1, tree

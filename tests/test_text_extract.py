@@ -30,10 +30,41 @@ def test_sent_tokenize_basic():
 
 
 def test_sent_tokenize_abbreviations_and_numbers():
-    text = "See Section 4.2 for details, e.g. the Token field. Values up to 65535 are valid."
+    text = "See Section 4.2 for details of cf. the Token field. Values up to 65535 are valid."
     out = sent_tokenize(text)
     assert len(out) == 2
     assert out[0].endswith("Token field.")
+
+
+def test_sent_tokenize_punkt_quirks():
+    """Pins the pretrained-Punkt behaviours the reference corpus exhibits."""
+    # bare "e.g." splits even before lowercase (rfc8613 "...context, e.g. / as")
+    assert sent_tokenize("Derive a new context, e.g. as described below.") == [
+        "Derive a new context, e.g.",
+        "as described below.",
+    ]
+    # non-abbreviation word + period splits regardless of next-token case
+    assert sent_tokenize("The Server does not accept it. error 0x87 applies.") == [
+        "The Server does not accept it.",
+        "error 0x87 applies.",
+    ]
+    # number + period merges before a lowercase bullet word
+    assert sent_tokenize("in the range 0 to 63. o Name: The name field.") == [
+        "in the range 0 to 63. o Name: The name field.",
+    ]
+    # initial + frequent sentence starter splits; unknown capitalized merges
+    assert sent_tokenize("insert the step: A. If present, process it.") == [
+        "insert the step: A.",
+        "If present, process it.",
+    ]
+    assert sent_tokenize("given in Appendix A. OSCORE may be used.") == [
+        "given in Appendix A. OSCORE may be used.",
+    ]
+    # "•" bullets start sentences (MQTT spec block)
+    assert sent_tokenize("The Client can: • publish a message. • subscribe.") == [
+        "The Client can: • publish a message.",
+        "• subscribe.",
+    ]
 
 
 def test_sent_tokenize_initials():
@@ -71,11 +102,12 @@ def test_rfc_extraction_deterministic():
 def test_rfc_extraction_overlap_with_reference_corpus():
     """Our Punkt-like splitter vs the frozen nltk output of the reference
     (data/pretrain_sentences.txt blocks 0-3 = the four RFCs): corpus-level
-    sentence P/R must clear the 0.95 gate. Residual divergence is Punkt's
-    context-dependent learned behaviour (e.g. it merges 'Appendix A.
-    OSCORE...' in rfc8613 but splits the same shape in rfc8974), which no
-    deterministic rule set reproduces exactly. The enforced BYTE-identical
-    contract is Spark-vs-in-process (test_sentences_spark)."""
+    sentence P/R must clear the 0.99 gate (round-2 level: P .993 / R .996).
+    Residual divergence is Punkt's learned orthographic statistics on
+    figure-art/protocol-dump tokens, which no deterministic rule set
+    reproduces exactly. The enforced BYTE-identical contract is
+    Spark-vs-in-process (test_sentences_spark); the PDF block is exact
+    (test_pdf_text)."""
     blocks = (
         open(os.path.join(DATA, "pretrain_sentences.txt"), encoding="utf-8").read().split("\n\n")
     )
@@ -90,7 +122,7 @@ def test_rfc_extraction_overlap_with_reference_corpus():
         tot_match += len(ours & ref)
     precision = tot_match / tot_ours
     recall = tot_match / tot_ref
-    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert precision >= 0.99 and recall >= 0.99, (precision, recall)
 
 
 def test_clean_spec_lines_page_numbers_and_prefixes():
@@ -123,6 +155,8 @@ def test_extract_document_routing():
     assert extract_document("https://x/y", None, None, "en") == []
 
 
-def test_decode_pdf_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        decode_pdf(b"%PDF-1.4")
+def test_decode_pdf_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_pdf(b"%PDF-1.4")  # truncated: no catalog
+    # and the dispatcher degrades to an empty doc instead of raising
+    assert extract_document("https://x/broken.pdf", b"%PDF-1.4", None, "en") == []
