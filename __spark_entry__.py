@@ -441,6 +441,36 @@ def q_kg_coref(spark, sf_dir):
     return resolve_coreferences(sents, pronouns=["it", "they"])
 
 
+def q_fewshot_prompts(spark, sf_dir):
+    """M12: retrieval-augmented few-shot prompt table — top-3 annotated
+    examples per query by scaled-integer embedding dot, assembled into
+    the reference's GPT-3 prompt format
+    (ref variable_extraction_GPT-3.py:21-41,203-233)."""
+    from coap_rfc_knowledge_graph_spark.operators.prompts import fewshot_prompts, scaled_int_vec
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_int_vec(F.col("embedding")).alias("iv")
+    )
+    ex = (
+        docs.filter(F.col("doc_id") < 8)
+        .select(
+            F.col("doc_id").alias("ex_id"),
+            F.substring("text", 1, 80).alias("sentence"),
+            F.concat(F.col("source"), F.lit(" = True;")).alias("behaviours"),
+        )
+        .join(emb, F.col("ex_id") == F.col("vec_id"))
+        .drop("vec_id")
+    )
+    qs = (
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 116))
+        .select(F.col("doc_id").alias("query_id"), F.substring("text", 1, 80).alias("sentence"))
+        .join(emb, F.col("query_id") == F.col("vec_id"))
+        .drop("vec_id")
+    )
+    return fewshot_prompts(qs, ex, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "modal_filter": q_modal_filter,
@@ -466,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "literal_overlap": q_literal_overlap,
+        "fewshot_prompts": q_fewshot_prompts,
         "kg_single_rule": q_kg_single_rule,
         "kg_direct_type1": q_kg_direct_type1,
         "kg_direct_type2": q_kg_direct_type2,
@@ -642,6 +673,39 @@ def oracle_sql() -> dict[str, str]:
             FROM vars a
             JOIN vars b ON a.entity_id = b.entity_id AND a.var = b.var
                        AND a.rule_id < b.rule_id
+        """,
+        "fewshot_prompts": """
+            WITH iv AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+              FROM embeddings
+            ),
+            ex AS (
+              SELECT d.doc_id AS ex_id, substr(d.text, 1, 80) AS ex_sentence,
+                     d.source || ' = True;' AS behaviours, iv.iv AS ev
+              FROM documents d JOIN iv ON iv.vec_id = d.doc_id
+              WHERE d.doc_id < 8
+            ),
+            q AS (
+              SELECT d.doc_id AS query_id, substr(d.text, 1, 80) AS sentence, iv.iv AS qv
+              FROM documents d JOIN iv ON iv.vec_id = d.doc_id
+              WHERE d.doc_id >= 100 AND d.doc_id < 116
+            ),
+            scored AS (
+              SELECT q.query_id, q.sentence, ex.ex_id, ex.ex_sentence, ex.behaviours,
+                     CAST(list_dot_product(q.qv, ex.ev) AS BIGINT) AS idot
+              FROM q CROSS JOIN ex
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY idot DESC, ex_id DESC) AS rank
+              FROM scored
+            )
+            SELECT query_id,
+                   string_agg('Sentence: ' || ex_sentence || chr(10) || 'Behaviours: ' || behaviours || chr(10),
+                              '' ORDER BY rank)
+                   || 'Sentence: ' || any_value(sentence) || chr(10) || 'Behaviours: ' AS prompt
+            FROM ranked WHERE rank <= 3
+            GROUP BY query_id
         """,
         # minhash_near_dup, simhash_near_dup, ann_ivf_topk, media_features,
         # kg_* (incl. the Q2-Q6 findings entries): non-SQL-expressible

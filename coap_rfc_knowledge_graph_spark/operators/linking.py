@@ -91,33 +91,60 @@ def distinct_surfaces(mentions: DataFrame) -> DataFrame:
 def embedded_surfaces(surfaces: DataFrame, scale_path: bool = True) -> DataFrame:
     """surfaces + idx (first-seen rank, the reference's list index) + vec.
 
-    Default (``scale_path=True``): range-partitioned sort + RDD
-    ``zipWithIndex`` (per-partition offsets, no single-task stage) —
-    the embedding UDF then runs over ALL range partitions in parallel.
-    ``scale_path=False`` is the tiny-dictionary oracle: a global
-    total-order window (single-task sort) that produces the identical
-    index (pinned by test); it repartitions before embedding so even the
-    oracle path never embeds serially.
+    Default (``scale_path=True``): zipWithIndex semantics in pure
+    DataFrame ops — range partition on the order keys, per-partition
+    row_number, plus broadcast per-partition offsets (the range Exchange
+    is computed once and reused for the counts side). No single-task
+    stage, no DF->RDD round-trip; the embedding UDF then runs over ALL
+    range partitions in parallel. ``scale_path=False`` is the
+    tiny-dictionary oracle: a global total-order window (single-task
+    sort) that produces the identical index (pinned by test); it
+    repartitions before embedding so even the oracle path never embeds
+    serially.
     """
     spark = surfaces.sparkSession
     # AQE coalesces the distinct() shuffle by BYTES, which under-counts
     # the Python-UDF compute downstream — a dictionary that fits one
     # 64 MB partition would embed serially. Spread over the cluster's
     # cores explicitly; the embed cost dominates the tiny extra shuffle.
-    n_parts = max(
-        surfaces.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
-    )
+    # (defaultParallelism, NOT surfaces.rdd.getNumPartitions(): under AQE
+    # the .rdd access eagerly executes the upstream query stages.)
+    n_parts = spark.sparkContext.defaultParallelism
     if scale_path:
-        ordered = surfaces.repartitionByRange(
-            n_parts, "first_seen", "surface"
-        ).sortWithinPartitions("first_seen", "surface")
-        schema = ordered.schema.add("idx", "long")
-        indexed = ordered.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-        out = spark.createDataFrame(indexed, schema)
+        # zipWithIndex semantics in pure DataFrame ops (no DF->RDD->DF
+        # pickle round-trip, no eager AQE execution): range-partition on
+        # the order keys, number rows WITHIN each partition (parallel
+        # window — partitionBy prevents the single-task global sort),
+        # then add per-partition offsets via a broadcast cumsum join.
+        ordered = surfaces.repartitionByRange(n_parts, "first_seen", "surface")
+        # persist the pid-stamped dictionary: the offsets side and the
+        # row_number side must see the SAME physical partitioning (a
+        # re-evaluated range exchange may re-sample split points under
+        # AQE); dictionary-sized, freed by the ContextCleaner
+        part = ordered.withColumn("pid", F.spark_partition_id()).persist()
+        in_part = Window.partitionBy("pid").orderBy("first_seen", "surface")
+        local = part.withColumn("local_idx", F.row_number().over(in_part) - 1)
+        counts = part.groupBy("pid").count()
+        off_w = (
+            Window.orderBy("pid")  # tiny: one row per partition
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.withColumn(
+            "offset", F.coalesce(F.sum("count").over(off_w), F.lit(0))
+        ).select("pid", "offset")
+        out = (
+            local.join(F.broadcast(offsets), on="pid")
+            .withColumn("idx", (F.col("local_idx") + F.col("offset")).cast("long"))
+            .drop("pid", "local_idx", "offset")
+        )
     else:
         w = Window.orderBy("first_seen", "surface")
         out = surfaces.withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
-        out = out.repartition(n_parts, "idx")
+    # spread the dictionary BEFORE the embedding UDF on both paths: AQE
+    # coalesces the upstream shuffles by BYTES, which under-counts the
+    # Python model compute — without this the embed stage can collapse
+    # to one task (pinned by test_embed_stage_runs_multiple_partitions)
+    out = out.repartition(n_parts, "idx")
     return out.withColumn("vec", embed_udf(F.col("surface")))
 
 
@@ -136,22 +163,53 @@ def candidate_pairs_bruteforce(embedded: DataFrame, threshold: float = SIMILARIT
     bmat = spark.sparkContext.broadcast(mat)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Chunk the dictionary axis and reuse ONE preallocated score
+        # buffer: a full (batch x n) sims matrix is 16 GB per batch at the
+        # 2M-row broadcast budget, and per-call large allocations also
+        # first-touch-fault on every batch. Bounded memory at any n.
+        # numpy passes the transposed view straight to sgemm (no copy);
+        # score + mask buffers are allocated once and reused across
+        # chunks AND batches — in a fresh worker, first-touch pages are
+        # the dominant cost, so the footprint stays small and warm
         m = bmat.value
+        m_t = m.T  # (d, n) view — BLAS handles the stride, no copy
+        chunk = 2048
+        buf = mask = None
         for pdf in batches:
             if not len(pdf):
                 continue
             vecs = np.stack(pdf["vec"].to_numpy())  # (b, d)
-            sims = vecs @ m.T  # (b, n) — inputs L2-normalized
-            out_i, out_j, out_s = [], [], []
-            for row_pos, i in enumerate(pdf["idx"]):
-                js = np.nonzero(sims[row_pos] > threshold)[0]
-                js = js[js > i]
-                out_i.extend([int(i)] * len(js))
-                out_j.extend(int(j) for j in js)
-                out_s.extend(float(sims[row_pos, j]) for j in js)
-            yield pd.DataFrame({"i": pd.array(out_i, dtype="int64"),
-                                "j": pd.array(out_j, dtype="int64"),
-                                "sim": pd.array(out_s, dtype="float64")})
+            b_rows = len(vecs)
+            width = min(chunk, m.shape[0])
+            if buf is None or buf.shape[0] < b_rows:
+                buf = np.empty((b_rows, width), dtype=np.float32)
+                mask = np.empty((b_rows, width), dtype=bool)
+            idxs = pdf["idx"].to_numpy().astype(np.int64)
+            out_i: list[np.ndarray] = []
+            out_j: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+            for c0 in range(0, m.shape[0], chunk):
+                c1 = min(m.shape[0], c0 + chunk)
+                w = c1 - c0
+                if w == buf.shape[1]:
+                    sims = buf[:b_rows]  # row-prefix slice stays C-contiguous
+                    np.dot(vecs, m_t[:, c0:c1], out=sims)
+                    mk = mask[:b_rows]
+                else:  # tail chunk: small one-off allocation
+                    sims = vecs @ m_t[:, c0:c1]
+                    mk = np.empty(sims.shape, dtype=bool)
+                # vectorized (cos > threshold) & (global j > i)
+                np.greater(sims, threshold, out=mk)
+                mk &= (np.arange(c0, c1, dtype=np.int64)[None, :] > idxs[:, None])
+                rpos, jloc = np.nonzero(mk)
+                out_i.append(idxs[rpos])
+                out_j.append(jloc + c0)
+                out_s.append(sims[rpos, jloc].astype(np.float64))
+            yield pd.DataFrame({
+                "i": np.concatenate(out_i) if out_i else np.array([], dtype=np.int64),
+                "j": np.concatenate(out_j) if out_j else np.array([], dtype=np.int64),
+                "sim": np.concatenate(out_s) if out_s else np.array([], dtype=np.float64),
+            })
 
     schema = T.StructType([
         T.StructField("i", T.LongType()),
@@ -373,19 +431,41 @@ def link_surfaces(query_surfaces: DataFrame, entities: DataFrame, surface_col: s
     b = spark.sparkContext.broadcast((mat, ids, names))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Chunked running-argmax over the dictionary axis with one reused
+        # buffer (same rationale as candidate_pairs_bruteforce: a full
+        # (batch x n) matrix is unbounded in the dictionary size).
         m, eid, enames = b.value
+        m_t = m.T  # view; BLAS handles the stride
+        n_ents = m.shape[0]
+        chunk = 2048
+        buf: np.ndarray | None = None
         for pdf in batches:
             if not len(pdf):
                 continue
             vecs = np.stack(stub_models.embed_batch(list(pdf[surface_col]))).astype(np.float32)
-            sims = vecs @ m.T
-            top = sims.argmax(axis=1)
+            b_rows = len(vecs)
+            if buf is None or buf.shape[0] < b_rows:
+                buf = np.empty((b_rows, min(chunk, n_ents)), dtype=np.float32)
+            best = np.full(b_rows, -np.inf, dtype=np.float32)
+            top = np.zeros(b_rows, dtype=np.int64)
+            for c0 in range(0, n_ents, chunk):
+                c1 = min(n_ents, c0 + chunk)
+                if c1 - c0 == buf.shape[1]:
+                    sims = buf[:b_rows]  # row-prefix slice stays C-contiguous
+                    np.dot(vecs, m_t[:, c0:c1], out=sims)
+                else:  # tail chunk: small one-off allocation
+                    sims = vecs @ m_t[:, c0:c1]
+                loc = sims.argmax(axis=1)
+                val = sims[np.arange(b_rows), loc]
+                upd = val > best  # ties keep the LOWER index = argmax order
+                best[upd] = val[upd]
+                top[upd] = loc[upd] + c0
             yield pd.DataFrame(
                 {
                     "surface": pdf[surface_col].astype(str),
                     "entity_id": eid[top],
                     "canonical": [enames[t] for t in top],
-                    "sim": sims[np.arange(len(top)), top].astype(np.float64),
+                    "sim": best.astype(np.float64),
                 }
             )
 
