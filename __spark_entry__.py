@@ -471,6 +471,16 @@ def q_fewshot_prompts(spark, sf_dir):
     return fewshot_prompts(qs, ex, k=3)
 
 
+def q_simhash_native(spark, sf_dir):
+    """Engine-exact SimHash near-dup pairs (md5-prefix token hashes,
+    pure Catalyst) — the value-verifiable variant of the simhash family
+    (the numpy-vectorized UDF variant is the throughput path)."""
+    from coap_rfc_knowledge_graph_spark.operators.dedup import simhash_pairs_native
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    return simhash_pairs_native(docs, max_hamming=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "modal_filter": q_modal_filter,
@@ -493,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "minhash_near_dup": q_minhash_band_agreement,
         "simhash_near_dup": q_simhash_near_dup,
+        "simhash_native": q_simhash_native,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "literal_overlap": q_literal_overlap,
@@ -707,9 +718,39 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 3
             GROUP BY query_id
         """,
-        # minhash_near_dup, simhash_near_dup, ann_ivf_topk, media_features,
-        # kg_* (incl. the Q2-Q6 findings entries): non-SQL-expressible
-        # (hash UDFs / model UDFs / solver) -> rows-only checks by design.
+        "simhash_native": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h,
+                     COUNT(*) AS w
+              FROM (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS t
+                FROM documents WHERE doc_id < 600
+              )
+              GROUP BY doc_id, h
+            ),
+            bits AS (
+              SELECT doc_id, b.range AS b,
+                     SUM(CASE WHEN (h >> CAST(b.range AS INT)) & 1 = 1 THEN w ELSE -w END) AS s
+              FROM toks CROSS JOIN range(60) b
+              GROUP BY doc_id, b.range
+            ),
+            fp AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS fp
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 12
+        """,
+        # minhash_near_dup, simhash_near_dup (UDF variant), ann_ivf_topk,
+        # media_features, kg_* (incl. the Q2-Q6 findings entries):
+        # non-SQL-expressible (hash UDFs / model UDFs / solver) ->
+        # rows-only checks by design. simhash_native above is the
+        # value-verifiable member of the simhash family.
     }
 
 

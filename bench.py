@@ -109,22 +109,26 @@ def main() -> None:
     flagship = min(timings["kg_triples"], timings["kg_triples_cold"])
     timings["kg_triples"] = flagship
 
-    # fresh canonicalization plan per repetition (the KGResult property
-    # memoizes the DataFrame, whose internal dictionary persist would turn
-    # the second run into a cache-hit no-op)
-    from coap_rfc_knowledge_graph_spark.operators.linking import canonical_entities
+    if os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY", "0") != "1":
+        # flagship-only mode (set by the scaling harness): scaling
+        # efficiency is a flagship metric; the secondary queries only
+        # stretch each measured run.
+        # fresh canonicalization plan per repetition (the KGResult
+        # property memoizes the DataFrame, whose internal dictionary
+        # persist would turn the second run into a cache-hit no-op)
+        from coap_rfc_knowledge_graph_spark.operators.linking import canonical_entities
 
-    timed("kg_entities", lambda: canonical_entities(res_holder["res"].mentions).count(), repeat=2)
-    timed("dedup_exact", lambda: dedup_exact(docs).count(), repeat=2)
-    timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs, threshold=0.5, num_hashes=32, bands=8).count(), repeat=2)
-    timed("dedup_simhash", lambda: simhash_near_duplicates(docs, max_hamming=3).count(), repeat=2)
-    queries = emb.filter(F.col("vec_id") < 32).select(F.col("vec_id").alias("query_id"), "embedding")
-    timed("ann_topk_matmul", lambda: cosine_topk_matmul(emb, queries, k=10).count(), repeat=2)
-    timed("text_quality", lambda: quality_features(docs).agg(F.avg("quality_score")).collect(), repeat=2)
-    timed(
-        "modal_context",
-        lambda: docs.filter(F.col("text").rlike(r"(?i)\b(must|stream|window)\b")).count(),
-    )
+        timed("kg_entities", lambda: canonical_entities(res_holder["res"].mentions).count(), repeat=2)
+        timed("dedup_exact", lambda: dedup_exact(docs).count(), repeat=2)
+        timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs, threshold=0.5, num_hashes=32, bands=8).count(), repeat=2)
+        timed("dedup_simhash", lambda: simhash_near_duplicates(docs, max_hamming=3).count(), repeat=2)
+        queries = emb.filter(F.col("vec_id") < 32).select(F.col("vec_id").alias("query_id"), "embedding")
+        timed("ann_topk_matmul", lambda: cosine_topk_matmul(emb, queries, k=10).count(), repeat=2)
+        timed("text_quality", lambda: quality_features(docs).agg(F.avg("quality_score")).collect(), repeat=2)
+        timed(
+            "modal_context",
+            lambda: docs.filter(F.col("text").rlike(r"(?i)\b(must|stream|window)\b")).count(),
+        )
 
     queries_out = dict(timings)
     queries_out["docs_per_sec"] = round(n_docs / flagship, 2) if flagship else 0.0

@@ -389,3 +389,83 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --- engine-exact native SimHash (oracle-verifiable variant) ------------------
+
+
+def simhash_fingerprint_native(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+) -> DataFrame:
+    """SimHash fingerprints computed ENTIRELY in Catalyst: tokens from
+    ``split(lower(text))``, per-token 60-bit hashes from the md5 prefix
+    (``conv(substr(md5(t),1,15),16,10)`` — engine-exact, DuckDB computes
+    the identical value), per-bit signed vote, sign -> bit.
+
+    Complements :func:`simhash_expr_udf`: the vectorized-numpy UDF is
+    the throughput path; this variant is hash-for-hash reproducible in
+    any SQL engine, making the simhash family value-verifiable by the
+    DuckDB oracle (rows x bits fan-out: fine for verification corpora,
+    heavier than the UDF at extreme scale). 60 bits keeps the hex->int
+    conversion inside a signed 64-bit int in both engines.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+            ).alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("w"))
+    )
+    votes = toks.select(
+        "doc_id",
+        "w",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        F.when(
+            F.expr("(shiftright(h, b) & 1) = 1"), F.col("w")
+        ).otherwise(-F.col("w")).alias("vote"),
+    )
+    per_bit = votes.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("fp")
+    )
+
+
+def simhash_pairs_native(
+    docs: DataFrame,
+    max_hamming: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+) -> DataFrame:
+    """All near-duplicate pairs by native-SimHash hamming distance:
+    (doc_a, doc_b, hamming). All-pairs join — the verification-corpus
+    shape (engine-exact vs the DuckDB oracle); at scale reuse the banded
+    candidate join of :func:`simhash_near_duplicates` over these native
+    fingerprints instead."""
+    fp = simhash_fingerprint_native(docs, id_col, text_col, bits)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

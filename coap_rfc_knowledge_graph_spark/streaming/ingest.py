@@ -103,3 +103,51 @@ def windowed_event_counts(
             "n",
         )
     )
+
+
+def stream_dedup_first_seen(
+    pages_stream: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Custom stateful operator: cross-micro-batch exact dedup.
+
+    Emits each distinct content hash ONCE — the first page (by url, for
+    within-batch determinism) that carries it, across ALL micro-batches.
+    Built on ``applyInPandasWithState`` grouped by content hash: state is
+    one boolean per seen hash, so a duplicate arriving hours later in a
+    different micro-batch still drops. This is the streaming face of
+    ``operators.dedup.dedup_exact`` (same hash, same keep-first rule).
+
+    Scale: state size = one tiny row per DISTINCT document ever seen —
+    the minimum any exact cross-stream dedup can hold; the shuffle is on
+    the hash (uniform by construction, no skew).
+    """
+    import pandas as pd
+
+    hashed = pages_stream.select(
+        "url",
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_hash"),
+    )
+
+    def keep_first(key, pdfs, state):
+        if state.exists:
+            # hash already emitted in an earlier micro-batch: drop all
+            for _ in pdfs:
+                pass
+            return
+        first_url = None
+        for pdf in pdfs:
+            if len(pdf):
+                u = pdf["url"].min()  # deterministic within the batch
+                first_url = u if first_url is None else min(first_url, u)
+        state.update((True,))
+        if first_url is not None:
+            yield pd.DataFrame({"content_hash": [key[0]], "url": [first_url]})
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        keep_first,
+        outputStructType="content_hash string, url string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

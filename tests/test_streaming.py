@@ -89,3 +89,53 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     expected = {(0, "a"): 2, (1, "b"): 1, (2, "a"): 1, (2, "b"): 2}
     for k, v in got.items():
         assert expected[k] == v
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a content hash emitted
+    in micro-batch 1 must NOT re-emit when the same content arrives in a
+    later micro-batch; new content still flows."""
+    import pandas as pd
+
+    from coap_rfc_knowledge_graph_spark.streaming.ingest import stream_dedup_first_seen
+
+    flat_dir = str(tmp_path / "in")
+    os.makedirs(flat_dir)
+    ts = datetime.datetime(2026, 1, 1)
+    batch1 = [("u1", None, "alpha content", "en", ts), ("u2", None, "beta content", "en", ts),
+              ("u3", None, "alpha content", "en", ts)]  # in-batch dup of u1
+    batch2 = [("u4", None, "alpha content", "en", ts),  # cross-batch dup
+              ("u5", None, "gamma content", "en", ts)]  # new
+    cols = "url string, html binary, text string, lang string, warc_ts timestamp"
+    spark.createDataFrame(batch1, cols).coalesce(1).write.parquet(str(tmp_path / "b1"))
+    spark.createDataFrame(batch2, cols).coalesce(1).write.parquet(str(tmp_path / "b2"))
+    n = 0
+    for sub in ("b1", "b2"):
+        for f in os.listdir(str(tmp_path / sub)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat_dir, f"part{n}.parquet")
+                os.rename(str(tmp_path / sub / f), dst)
+                # widely-spaced mtimes pin micro-batch order (the file
+                # source orders by modification time)
+                os.utime(dst, (1000000000 + n * 1000, 1000000000 + n * 1000))
+                n += 1
+    assert n == 2
+
+    from coap_rfc_knowledge_graph_spark.streaming.ingest import stream_pages
+
+    deduped = stream_dedup_first_seen(stream_pages(spark, flat_dir, max_files_per_trigger=1))
+    out_dir = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).collect()
+    by_url = sorted(r.url for r in got)
+    # alpha -> first-seen u1 (u3/u4 dropped), beta -> u2, gamma -> u5
+    assert by_url == ["u1", "u2", "u5"], by_url

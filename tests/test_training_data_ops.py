@@ -264,3 +264,39 @@ def test_multimodal_backend_stub_raises(spark):
     media = synthetic_media(spark, 3)
     with pytest.raises(Exception, match="NotImplementedError|backend|media decoding"):
         extract_features(media, use_backend=True).collect()
+
+
+def test_simhash_native_engine_exact(spark):
+    """Native (md5-prefix, pure Catalyst) SimHash matches an in-process
+    hashlib replica bit for bit, and pair hamming behaves."""
+    import hashlib
+
+    from coap_rfc_knowledge_graph_spark.operators.dedup import (
+        simhash_fingerprint_native,
+        simhash_pairs_native,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different content with other words entirely"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.fp for r in simhash_fingerprint_native(docs).collect()}
+
+    def replica(text, bits=60):
+        toks = [t for t in text.lower().split() if t]
+        votes = [0] * bits
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(bits):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(bits) if votes[b] > 0)
+
+    for doc_id, text in rows:
+        assert got[doc_id] == replica(text), doc_id
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs_native(docs, max_hamming=60).collect()}
+    assert pairs[(0, 3)] == 0  # identical docs: distance 0
+    assert 0 < pairs[(0, 1)] < pairs[(0, 2)]  # near-dup closer than unrelated

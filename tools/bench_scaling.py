@@ -26,6 +26,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_DOCS_MULT=str(DOCS_MULT),
+        SPARK_GRAFT_FLAGSHIP_ONLY="1",  # scaling is a flagship metric
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -51,8 +52,9 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
-    r_lo = best_of(2, lo, sf_dir)
-    r_hi = best_of(2, hi, sf_dir)
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_BESTOF", "4"))
+    r_lo = best_of(n_runs, lo, sf_dir)
+    r_hi = best_of(n_runs, hi, sf_dir)
     tp_lo = r_lo["queries"]["docs_per_sec"]
     tp_hi = r_hi["queries"]["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo) if tp_lo else 0.0
