@@ -481,6 +481,15 @@ def q_simhash_native(spark, sf_dir):
     return simhash_pairs_native(docs, max_hamming=12)
 
 
+def q_minhash_native(spark, sf_dir):
+    """Engine-exact MinHash signatures (md5-prefix shingle hashes, pure
+    Catalyst) — the value-verifiable variant of the minhash family."""
+    from coap_rfc_knowledge_graph_spark.operators.dedup import minhash_signatures_native
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return minhash_signatures_native(docs, num_hashes=8, k=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "modal_filter": q_modal_filter,
@@ -504,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_band_agreement,
         "simhash_near_dup": q_simhash_near_dup,
         "simhash_native": q_simhash_native,
+        "minhash_native": q_minhash_native,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "literal_overlap": q_literal_overlap,
@@ -746,11 +756,33 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.fp, b.fp)) <= 12
         """,
-        # minhash_near_dup, simhash_near_dup (UDF variant), ann_ivf_topk,
-        # media_features, kg_* (incl. the Q2-Q6 findings entries):
-        # non-SQL-expressible (hash UDFs / model UDFs / solver) ->
-        # rows-only checks by design. simhash_native above is the
-        # value-verifiable member of the simhash family.
+        "minhash_native": """
+            WITH base AS (
+              SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 300
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       CASE WHEN length(t) >= 8
+                            THEN list_transform(range(1, length(t) - 6), p -> substr(t, p, 8))
+                            ELSE [] END
+                     )) AS sh
+              FROM base
+            ),
+            hashed AS (
+              SELECT doc_id, s.range AS seed,
+                     CAST(concat('0x', substr(md5(CAST(s.range AS VARCHAR) || ':' || sh), 1, 15)) AS BIGINT) AS h
+              FROM sh CROSS JOIN range(8) s
+            )
+            SELECT doc_id, CAST(seed AS BIGINT) AS seed, MIN(h) AS minhash
+            FROM hashed GROUP BY doc_id, seed
+        """,
+        # minhash_near_dup / simhash_near_dup (UDF variants),
+        # ann_ivf_topk, media_features, kg_* (incl. the Q2-Q6 findings
+        # entries): non-SQL-expressible (hash UDFs / model UDFs /
+        # solver) -> rows-only checks by design. simhash_native /
+        # minhash_native above are the value-verifiable members of the
+        # two near-dup families.
     }
 
 

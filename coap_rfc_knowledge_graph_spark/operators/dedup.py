@@ -469,3 +469,45 @@ def simhash_pairs_native(
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_signatures_native(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures ENTIRELY in Catalyst: distinct k-char shingles
+    of ``lower(text)``, per-(seed, shingle) 60-bit hashes from the md5
+    prefix of ``seed || ':' || shingle``, min per seed. Output is the
+    exploded (doc_id, seed, minhash) form — scalar rows, engine-exact in
+    any SQL engine (the DuckDB oracle computes identical values).
+
+    Complements :func:`minhash_signatures` (numpy FNV, the throughput
+    path): this variant makes the minhash family value-verifiable; the
+    estimator semantics (distinct shingles, min over a uniform-ish hash)
+    are the same."""
+    # substring with a dynamic start needs expr form; the CASE guards
+    # short texts (Spark's sequence(1, 0) would count DOWN, not empty)
+    shingle_expr = F.expr(
+        f"CASE WHEN length(lower({text_col})) >= {k} THEN "
+        f"array_distinct(transform(sequence(1, length(lower({text_col})) - {k - 1}), "
+        f"p -> substr(lower({text_col}), p, {k}))) "
+        f"ELSE array() END"
+    )
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingle_expr).alias("sh")
+    ).select(
+        "doc_id", "sh", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (
+        ex.select("doc_id", "seed", h.alias("h"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )

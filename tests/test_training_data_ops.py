@@ -300,3 +300,29 @@ def test_simhash_native_engine_exact(spark):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs_native(docs, max_hamming=60).collect()}
     assert pairs[(0, 3)] == 0  # identical docs: distance 0
     assert 0 < pairs[(0, 1)] < pairs[(0, 2)]  # near-dup closer than unrelated
+
+
+def test_minhash_native_engine_exact(spark):
+    """Native (md5-prefix, pure Catalyst) MinHash matches an in-process
+    hashlib replica value for value; identical docs share signatures."""
+    import hashlib
+
+    from coap_rfc_knowledge_graph_spark.operators.dedup import minhash_signatures_native
+
+    rows = [
+        (0, "The Quick Brown Fox Jumps Over The Lazy Dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # case-dup of 0
+        (2, "short"),  # below shingle width: no signature rows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.seed): r.minhash for r in minhash_signatures_native(docs, num_hashes=4, k=8).collect()}
+
+    def replica(text, seed, k=8):
+        t = text.lower()
+        shingles = {t[i:i + k] for i in range(len(t) - k + 1)}
+        return min(int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16) for s in shingles)
+
+    for seed in range(4):
+        assert got[(0, seed)] == replica(rows[0][1], seed)
+        assert got[(0, seed)] == got[(1, seed)]  # lowercase dup: same sig
+    assert not any(d == 2 for d, _ in got)  # sub-shingle-width doc: absent
