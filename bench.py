@@ -17,7 +17,10 @@ The flagship metric is the end-to-end KG extraction (pages -> sentences
 docs_per_sec is the north-rule throughput number. Additional timed
 queries cover canonicalization, dedup families, ANN and the native text
 stage. Scaling evidence across two parallelism levels is produced by
-tools/bench_scaling.py (same job at local[8] vs local[32]).
+tools/bench_scaling.py (same job at N vs 4N cores; the faithful pairs
+on this 32-core host are local[2]/local[8] and local[4]/local[16] —
+local[32] shares its 32 physical cores between task threads AND Python
+workers, so the 8v32 pair under-measures).
 """
 
 from __future__ import annotations

@@ -363,6 +363,10 @@ class PDFDocument:
     # -- page tree ---------------------------------------------------------
 
     def pages(self) -> list[dict]:
+        if b"/Encrypt" in self.data and re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", self.data):
+            # encrypted documents need the RC4/AES security handler;
+            # refuse loudly instead of emitting decode garbage
+            raise ValueError("encrypted PDF not supported")
         root = self.resolve(self.get(self.root_num)) if self.root_num else None
         if not isinstance(root, dict):
             raise ValueError("PDF catalog not found")

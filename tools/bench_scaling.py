@@ -1,8 +1,10 @@
 """Two-parallelism scaling evidence (sandbox stand-in for N vs 4N
-executors, per BASELINE.json): run bench.py at local[8] and local[32]
+executors, per BASELINE.json): run bench.py at local[N] and local[4N]
 on the SAME input and report throughput at both plus scaling efficiency
-= (docs_per_sec@32 / docs_per_sec@8) / 4. Writes BENCH/SCALING.json and
-updates the scaling section of BENCH/BASELINE.md.
+= (docs_per_sec@4N / docs_per_sec@N) / 4. Defaults to the 4-vs-16 pair
+(local[32] would share the 32 physical cores between task threads and
+Python workers, under-measuring the high level); override with
+SPARK_GRAFT_SCALE_LO / SPARK_GRAFT_SCALE_HI. Writes BENCH/SCALING.json.
 
 Usage: python tools/bench_scaling.py [sf_dir]
 """
@@ -50,8 +52,8 @@ def best_of(n: int, cpus: int, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
-    hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_BESTOF", "4"))
     r_lo = best_of(n_runs, lo, sf_dir)
     r_hi = best_of(n_runs, hi, sf_dir)
