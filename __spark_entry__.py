@@ -324,10 +324,19 @@ def q_literal_overlap(spark, sf_dir):
     return literal_overlap(rules)
 
 
+_KG_FINDINGS_MEMO: dict = {}
+
+
 def _kg_findings(spark, sf_dir):
     """Shared EP3 chain for the Q1-Q6 contract entries: extract ->
     rules -> query_stage over the synthetic corpus (same corpus-
-    appropriate keyword pattern as q_kg_contradictions)."""
+    appropriate keyword pattern as q_kg_contradictions). Memoized per
+    (session, sf_dir): a driver run evaluating all five Q2-Q6 entries
+    would otherwise rebuild the whole extraction + solver chain (and
+    its internal persists) five times for identical results."""
+    key = (id(spark), sf_dir)
+    if key in _KG_FINDINGS_MEMO:
+        return _KG_FINDINGS_MEMO[key]
     from coap_rfc_knowledge_graph_spark.operators.rule_filter import rule_sentences
     from coap_rfc_knowledge_graph_spark.plans.pipeline import (
         extract_stage,
@@ -347,7 +356,9 @@ def _kg_findings(spark, sf_dir):
         pattern=r"(?i)\b(must|shall|should|may|stream|window)\b",
         strong_pattern=r"(?i)\b(must|shall|stream)\b",
     )
-    return query_stage(rules_stage(res)).findings
+    findings = query_stage(rules_stage(res)).findings
+    _KG_FINDINGS_MEMO[key] = findings
+    return findings
 
 
 def q_kg_single_rule(spark, sf_dir):

@@ -234,18 +234,38 @@ def _parse_from(lex: Lexer, tok):
 
 
 def _png_predictor(data: bytes, columns: int) -> bytes:
+    """All five PNG row filters (bpp=1, the shape xref/ObjStm streams
+    use). An unknown filter byte raises — silently passing the row
+    through would corrupt object offsets downstream."""
     rowlen = columns + 1
     out = bytearray()
     prev = bytearray(columns)
     for i in range(0, len(data) - rowlen + 1, rowlen):
         ft = data[i]
         row = bytearray(data[i + 1:i + rowlen])
-        if ft == 2:  # Up
-            for j in range(columns):
-                row[j] = (row[j] + prev[j]) & 0xFF
+        if ft == 0:  # None
+            pass
         elif ft == 1:  # Sub
             for j in range(1, columns):
                 row[j] = (row[j] + row[j - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(columns):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(columns):
+                left = row[j - 1] if j else 0
+                row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(columns):
+                a = row[j - 1] if j else 0
+                b = prev[j]
+                c = prev[j - 1] if j else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG predictor filter {ft}")
         out += row
         prev = row
     return bytes(out)
@@ -486,7 +506,19 @@ class Font:
                 for i in range(0, len(raw) - 1, 2)
             )
         if self.cmap:
-            return "".join(self.cmap.get(b, chr(b)) for b in raw)
+            # codes missing from a partial ToUnicode map fall back to the
+            # same cp1252 decode as the cmap-less branch (chr() would
+            # leak C1 control characters for 0x80-0x9F)
+            out = []
+            for b in raw:
+                if b in self.cmap:
+                    out.append(self.cmap[b])
+                else:
+                    try:
+                        out.append(bytes([b]).decode("cp1252"))
+                    except UnicodeDecodeError:
+                        out.append("")
+            return "".join(out)
         out = []
         for b in raw:
             if b in self.diffs:

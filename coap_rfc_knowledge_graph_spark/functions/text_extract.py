@@ -65,10 +65,12 @@ def sent_tokenize(text: str) -> list[str]:
     token that is not a known abbreviation, a single-letter initial, or a
     number is a sentence boundary *regardless of the case of the next
     token* (nltk splits "accept it. error 0x87 ..." before lowercase
-    "error"). Abbreviation lookup is on the raw token — a leading opener
-    defeats it, so "(e.g." splits while "e.g." does not, exactly as the
-    pretrained Punkt model behaves. Ambiguous candidates (ellipsis runs,
-    numeric tokens) still require an upper/digit/opener/bullet start.
+    "error"). Bare "e.g."/"i.e." split too (NOT in ``_ABBREVIATIONS`` —
+    see the note there); abbreviation lookup is on the raw token, so a
+    leading opener defeats it ("(cf." splits while "cf." does not), as
+    the pretrained Punkt model behaves. Ambiguous candidates (ellipsis
+    runs, numeric tokens) still require an upper/digit/opener/bullet
+    start.
     """
     sentences: list[str] = []
     n = len(text)
@@ -254,11 +256,33 @@ def extract_mqtt_sentences(data: bytes) -> list[str]:
     Reproduces ``data/pretrain_sentences.txt`` block 4 sentence-for-sentence
     (tests/test_pdf_text.py::test_mqtt_pdf_matches_reference_corpus).
     """
-    lines = decode_pdf(data, 10, 118)
+    lines, is_spec = _spec_pdf_lines(data, 10, 118)
     cleaned = clean_spec_lines(lines, ("mqtt-v5", "Standards Track Work Product"))
     sentences = sent_tokenize("\n".join(cleaned))
     sentences = clean_spec_sentences(sentences, drop_contains=("Figure",))
+    if not is_spec:
+        return sentences  # not the actual spec: no positional splice
     return sentences[:46] + sentences[49:]
+
+
+def _spec_pdf_lines(data: bytes, first: int, last: int) -> tuple[list[str], bool]:
+    """Page lines for a spec-shaped PDF. The MQTT/AMQP page ranges and
+    the MQTT positional splice are reference-corpus fidelity behaviors
+    for the REAL spec documents; an arbitrary crawled PDF whose url
+    merely mentions the protocol (e.g. a 5-page "mqtt-tutorial.pdf")
+    must not get pages sliced away or sentences spliced out. If the
+    document is shorter than the spec's page range, decode the WHOLE
+    document and signal non-spec."""
+    from .pdf_text import PDFDocument, chunks_to_lines, page_chunks
+
+    doc = PDFDocument(data)
+    pages = doc.pages()
+    is_spec = len(pages) >= last
+    selected = pages[first:last] if is_spec else pages
+    lines: list[str] = []
+    for page in selected:
+        lines.extend(chunks_to_lines(page_chunks(doc, page)))
+    return lines, is_spec
 
 
 def extract_amqp_sentences(data: bytes) -> list[str]:
@@ -270,7 +294,7 @@ def extract_amqp_sentences(data: bytes) -> list[str]:
     of its frozen test data, so this path is pinned structurally
     (tests/test_pdf_text.py) rather than against a frozen corpus block.
     """
-    lines = decode_pdf(data, 16, 119)
+    lines, _ = _spec_pdf_lines(data, 16, 119)
     cleaned = clean_spec_lines(
         lines,
         (

@@ -77,7 +77,16 @@ def check_entity_contradiction(rules: DataFrame) -> DataFrame:
 
     def per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
         clauses = [_clause(c) for c in pdf["clause_json"]]
-        if check_sat(clauses):
+        try:
+            sat = check_sat(clauses)
+        except ValueError:
+            # branch-cap overflow (only reachable here: the pairwise
+            # checks solve 2 clauses at a time). Scope the failure to
+            # THIS entity instead of killing the job, and surface it as
+            # a finding — an entity whose rule set is too complex to
+            # verify needs review, the opposite of a silent pass.
+            sat = False
+        if sat:
             return pd.DataFrame(columns=["entity_id", "canonical", "n_rules"]).astype(
                 {"entity_id": "int64", "canonical": "object", "n_rules": "int32"}
             )

@@ -1,7 +1,12 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 Five families, all over a ``documents(doc_id, text, ...)``-shaped table
-(the driver's synthetic `documents` parquet or the `pages` table):
+(the driver's synthetic `documents` parquet or the `pages` table).
+The MinHash and SimHash families each ship TWO implementations: a
+numpy-vectorized UDF variant (the throughput path) and an engine-exact
+native variant built on md5-prefix hashes in pure Catalyst
+(``*_native`` — value-reproducible in any SQL engine, which is what the
+DuckDB correctness oracle verifies):
 
 - exact:        md5 content hash -> keep min doc_id per hash group
 - n-gram Jaccard: character-shingle overlap above a threshold — fully
@@ -372,13 +377,11 @@ def embedding_near_duplicates(
         emb = unit.select(F.col("id").alias("idx"), F.col("v").alias("vec"))
         pairs = candidate_pairs_lsh(
             emb, threshold=threshold, bands=bands, rows_per_band=rows_per_band,
-            seed=seed, dim=dim,
+            seed=seed, dim=dim, inclusive=True,  # this operator's contract is >=
         )
-        # candidate_pairs_lsh filters sim > threshold (strict); re-apply
-        # this operator's >= contract on the exact cosine
         return pairs.select(
             F.col("i").alias("id_a"), F.col("j").alias("id_b"), F.col("sim").alias("cosine")
-        ).filter(F.col("cosine") >= threshold)
+        )
     a = unit.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = unit.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)

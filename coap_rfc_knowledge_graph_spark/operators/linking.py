@@ -117,11 +117,14 @@ def embedded_surfaces(surfaces: DataFrame, scale_path: bool = True) -> DataFrame
         # window — partitionBy prevents the single-task global sort),
         # then add per-partition offsets via a broadcast cumsum join.
         ordered = surfaces.repartitionByRange(n_parts, "first_seen", "surface")
-        # persist the pid-stamped dictionary: the offsets side and the
-        # row_number side must see the SAME physical partitioning (a
-        # re-evaluated range exchange may re-sample split points under
-        # AQE); dictionary-sized, freed by the ContextCleaner
-        part = ordered.withColumn("pid", F.spark_partition_id()).persist()
+        # localCheckpoint the pid-stamped dictionary: the offsets side
+        # and the row_number side must see the SAME physical partitioning
+        # (a re-evaluated range exchange may re-sample split points). A
+        # plain persist could silently recompute through a NEW exchange
+        # on executor loss, corrupting idx; the truncated-lineage
+        # checkpoint fails loudly instead. Dictionary-sized; freed by
+        # the ContextCleaner when the plan is garbage collected.
+        part = ordered.withColumn("pid", F.spark_partition_id()).localCheckpoint(eager=False)
         in_part = Window.partitionBy("pid").orderBy("first_seen", "surface")
         local = part.withColumn("local_idx", F.row_number().over(in_part) - 1)
         counts = part.groupBy("pid").count()
@@ -259,12 +262,17 @@ def candidate_pairs_lsh(
     rows_per_band: int = 4,
     seed: int = 7,
     dim: int = EMBED_DIM,
+    inclusive: bool = False,
 ) -> DataFrame:
     """Scale path for N3: LSH-bucket equi-join -> exact-cosine verify.
 
     The join key is (band, band_sig); the exact cosine re-check runs
     native (``zip_with`` + ``aggregate`` — whole-stage codegen, no
     Python). Pairs found in multiple bands are deduped by (i, j).
+    ``inclusive`` switches the cosine comparison to >= — the reference's
+    canonicalization is strict ``> 0.9``, but embedding_near_duplicates'
+    contract is >=, and a strict filter here could not be widened
+    downstream (pairs at exactly the threshold would already be gone).
     """
     sig = with_lsh_bands(embedded, bands, rows_per_band, seed, dim=dim)
     sig = sig.select("idx", "vec", F.posexplode("sigs").alias("band", "sig"))
@@ -281,9 +289,10 @@ def candidate_pairs_lsh(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    cmp = F.col("sim") >= threshold if inclusive else F.col("sim") > threshold
     return (
         pairs.withColumn("sim", dot.cast("double"))
-        .filter(F.col("sim") > threshold)
+        .filter(cmp)
         .select("i", "j", "sim")
     )
 
@@ -546,7 +555,11 @@ def link_surfaces_auto(
 ) -> DataFrame:
     """N4 link with automatic physical-path selection: broadcast matmul
     while the dictionary fits the broadcast budget, distributed shuffle
-    argmax above it. Identical output either way (pinned by test)."""
+    argmax above it. Same output either way (pinned by test) up to
+    float near-ties: the broadcast path scores in float32 numpy, the
+    distributed path in float64 SQL, so two entities whose true dots
+    differ by < f32 epsilon can rank differently across the path
+    boundary — acceptable for a 0.9-threshold similarity link."""
     if _entity_count_hint(entities) <= max_broadcast_entities:
         return link_surfaces(query_surfaces, entities, surface_col)
     return link_surfaces_distributed(query_surfaces, entities, surface_col)

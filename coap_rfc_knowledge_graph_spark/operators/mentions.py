@@ -7,9 +7,12 @@ batched pandas UDF returning ``array<struct<begin,end,surface>>`` which
 is then exploded — no per-row Python at the Spark boundary, no shuffle
 (narrow transformation over the url-partitioned sentences).
 
-Model swap point: replace ``stub_models.tag_batch`` with a broadcast
-torch checkpoint scoring the batch under ``no_grad`` (scalar-iterator UDF
-so the model loads once per executor, not once per batch).
+Model swap point (IMPLEMENTED below): :func:`make_mentions_udf` takes a
+zero-arg model factory and builds an iterator-form pandas UDF — the
+factory runs once per task, then scores every Arrow batch
+(load-once/score-many); :func:`_hf_loader` is the real-checkpoint
+factory (torch ``no_grad`` batch scoring, used when transformers is
+installed), ``_stub_loader`` the deterministic default.
 """
 
 from __future__ import annotations

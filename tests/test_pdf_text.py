@@ -153,10 +153,27 @@ def test_amqp_spec_path_structural():
             "The receiver SHOULD acknowledge receipt.",
         ]
     ]
-    # pages[16:119]: pad 16 front-matter pages the path must skip
-    pages = [["Front matter %d." % i] for i in range(16)] + body_pages
+    # spec-sized document: 16 front-matter pages the [16:119] range must
+    # skip, the body page, and filler pages whose only line the AMQP
+    # "0x" prefix filter drops (the spec page-range semantics only apply
+    # to documents that actually span the spec's page count)
+    pages = (
+        [["Front matter %d." % i] for i in range(16)]
+        + body_pages
+        + [["0x%02d filler hex line" % i] for i in range(102)]
+    )
     out = extract_amqp_sentences(_minimal_pdf(pages))
     assert out == [
         "The sender MUST settle the message.",
         "The receiver SHOULD acknowledge receipt.",
     ]
+
+
+def test_short_pdf_routed_generically_not_spliced():
+    """A crawled PDF whose url merely mentions mqtt must NOT lose pages
+    to the spec's [10:118] range or sentences to the [:46]+[49:] splice."""
+    from coap_rfc_knowledge_graph_spark.functions.text_extract import extract_document
+
+    pages = [[f"Tutorial sentence number {i} MUST be kept."] for i in range(5)]
+    out = extract_document("https://example.com/mqtt-tutorial.pdf", _minimal_pdf(pages), None, "en")
+    assert out == [f"Tutorial sentence number {i} MUST be kept." for i in range(5)]
