@@ -492,6 +492,28 @@ def q_simhash_native(spark, sf_dir):
     return simhash_pairs_native(docs, max_hamming=12)
 
 
+def q_kg_triples_native(spark, sf_dir):
+    """Engine-exact NATIVE variant of the flagship triple chain (VERDICT
+    r2 item 1): sentence split -> island mention detection -> C(n,2)
+    pair fan-out -> 60-bit md5 relation hash -> (subj, pred, obj), all
+    pure Catalyst so DuckDB reproduces every value. The model-UDF
+    flagship (`kg_triples`) stays rows-only; THIS entry is the
+    value-level driver check on triple content."""
+    from coap_rfc_knowledge_graph_spark.operators.triples_native import native_triples
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return native_triples(docs)
+
+
+def q_kg_entities_native(spark, sf_dir):
+    """Value-verifiable native analog of the N1 entity dictionary:
+    distinct lowercased mention surfaces + lexicographic-rank ids."""
+    from coap_rfc_knowledge_graph_spark.operators.triples_native import native_entities
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return native_entities(docs)
+
+
 def q_minhash_native(spark, sf_dir):
     """Engine-exact MinHash signatures (md5-prefix shingle hashes, pure
     Catalyst) — the value-verifiable variant of the minhash family."""
@@ -525,6 +547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "simhash_native": q_simhash_native,
         "minhash_native": q_minhash_native,
+        "kg_triples_native": q_kg_triples_native,
+        "kg_entities_native": q_kg_entities_native,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "literal_overlap": q_literal_overlap,
@@ -542,8 +566,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _native_triples_ctes() -> str:
+    """Shared CTE chain for the kg_*_native oracles: the pure-Catalyst
+    mention-span derivation re-expressed in DuckDB (islands of entity
+    tokens -> spans), parameterized by the stub lexicon/modal lists."""
+    from coap_rfc_knowledge_graph_spark.config import MODAL_KEYWORDS
+    from coap_rfc_knowledge_graph_spark.functions.stub_models import _LEXICON
+
+    lex = "[" + ", ".join(f"'{w}'" for w in sorted(_LEXICON)) + "]"
+    modals = "[" + ", ".join(f"'{m}'" for m in MODAL_KEYWORDS) + "]"
+    return f"""
+        WITH sents0 AS (
+          SELECT doc_id, regexp_split_to_array(text, '\\. ') AS ss
+          FROM documents WHERE doc_id < 300
+        ),
+        sents AS (
+          SELECT doc_id, u.i AS sent_id, u.s AS sentence FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(len(ss)), i -> {{'i': i, 's': ss[i+1]}})) AS u
+            FROM sents0)
+          WHERE trim(u.s) <> ''
+        ),
+        rawtoks AS (
+          SELECT doc_id, sent_id, sentence, u.i AS raw_pos, u.t AS token FROM (
+            SELECT doc_id, sent_id, sentence,
+                   unnest(list_transform(range(len(ts)), i -> {{'i': i, 't': ts[i+1]}})) AS u
+            FROM (SELECT *, regexp_split_to_array(sentence, ' ') AS ts FROM sents))
+          WHERE u.t <> ''
+        ),
+        toks AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id, sent_id ORDER BY raw_pos) AS tpos
+          FROM rawtoks
+        ),
+        ent AS (
+          SELECT *, tpos - row_number() OVER (PARTITION BY doc_id, sent_id ORDER BY tpos) AS island
+          FROM toks
+          WHERE regexp_matches(token, '^[A-Za-z]')
+            AND NOT list_contains({modals}, token)
+            AND (CASE WHEN tpos = 1 THEN list_contains({lex}, lower(token))
+                 ELSE regexp_matches(token, '^[A-Z]') OR list_contains({lex}, lower(token)) END)
+        ),
+        spans AS (
+          SELECT doc_id, sent_id, sentence,
+                 min(tpos) AS b, max(tpos) AS e,
+                 string_agg(token, ' ' ORDER BY tpos) AS surface
+          FROM ent GROUP BY doc_id, sent_id, sentence, island
+        )"""
+
+
 def oracle_sql() -> dict[str, str]:
     modal = r"(?i)\b(must|shall|should|required|recommended|may|optional|stream|window)\b"
+    native_ctes = _native_triples_ctes()
     return {
         "modal_filter": f"""
             SELECT doc_id, lang, source FROM documents
@@ -738,6 +811,40 @@ def oracle_sql() -> dict[str, str]:
                    || 'Sentence: ' || any_value(sentence) || chr(10) || 'Behaviours: ' AS prompt
             FROM ranked WHERE rank <= 3
             GROUP BY query_id
+        """,
+        "kg_triples_native": native_ctes + """,
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id, sent_id ORDER BY b, e) AS k
+          FROM spans
+        ),
+        pairs AS (
+          SELECT a.doc_id, a.sent_id,
+                 a.sentence || '|' || a.b || ':' || a.e || '|' || b.b || ':' || b.e AS marked,
+                 a.surface AS subj_surface, b.surface AS obj_surface
+          FROM ranked a JOIN ranked b
+            ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.k < b.k
+        ),
+        hashed AS (
+          SELECT doc_id, sent_id, subj_surface, obj_surface,
+                 CAST(concat('0x', substr(md5(marked), 1, 15)) AS BIGINT) AS h
+          FROM pairs
+        ),
+        preds AS (
+          SELECT doc_id, sent_id, subj_surface, obj_surface,
+                 CASE WHEN h % 100 < 60 THEN 0
+                      ELSE CAST(1 + (h // 100) % 7 AS INT) END AS pred_id
+          FROM hashed
+        )
+        SELECT doc_id, CAST(sent_id AS INT) AS sent_id, subj_surface AS subj,
+               (['NO RELATION','EQUIVALENT','HAS TYPE','HAS FIELD','TYPE OF','FIELD OF',
+                 'HAS FEATURE','FEATURE OF'])[pred_id+1] AS pred,
+               obj_surface AS obj
+        FROM preds WHERE pred_id <> 0
+        """,
+        "kg_entities_native": native_ctes + """
+        SELECT CAST(row_number() OVER (ORDER BY canonical) - 1 AS BIGINT) AS entity_id,
+               canonical
+        FROM (SELECT DISTINCT lower(surface) AS canonical FROM spans)
         """,
         "simhash_native": """
             WITH toks AS (

@@ -1,0 +1,79 @@
+"""Value-level verification of the flagship triple family (VERDICT r2
+item 1).
+
+Two layers:
+1. ``kg_triples_native`` / ``kg_entities_native`` — the pure-Catalyst
+   variant — must match the DuckDB oracle SQL value-for-value (the same
+   comparison the driver runs at sf0.01, here at sf0.001 in-process).
+2. The ACTUAL model-UDF flagship (`kg_triples`, `kg_entities`) content
+   is pinned by an order-insensitive sha256 over all rows at sf0.001 —
+   a content regression anywhere in the chain (tokenizer, tagger, span
+   decode, pair markers, relation stub, canonicalization ordering) now
+   fails a hard test, not just a row-count check. Hashes verified stable
+   across local[3] and local[8].
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+# pinned at round 3; recompute via tools/check_native_triples.py if the
+# stub-model contract deliberately changes (document in FIXTURES.md)
+FLAGSHIP_HASHES = {
+    "kg_triples": (19174, "6164aa38d7a9b7daa3294e712f1b30c1ea332d17694ea084818bc10290189c90"),
+    "kg_entities": (2858, "038b685c7fcd2e43ee07e4295ccf62da1af40a10b6b9f013e5e5f90768d1d8b2"),
+}
+
+
+def _table_hash(df) -> tuple[int, str]:
+    rows = sorted("|".join(str(v) for v in r) for r in df.collect())
+    return len(rows), hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", ["kg_triples_native", "kg_entities_native"])
+def test_native_family_matches_duckdb(spark, name):
+    import __spark_entry__ as entry
+
+    sp = entry.queries()[name](spark, SF).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.execute(entry.oracle_sql()[name]).fetchdf()
+    cols = sorted(sp.columns)
+    assert sorted(ora.columns) == cols
+    a = sp[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    b = ora[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    assert len(a) == len(b) and len(a) > 1000
+    assert a.equals(b)
+
+
+@pytest.mark.parametrize("name", ["kg_triples", "kg_entities"])
+def test_flagship_content_hash_pinned(spark, name):
+    import __spark_entry__ as entry
+
+    n, h = _table_hash(entry.queries()[name](spark, SF))
+    exp_n, exp_h = FLAGSHIP_HASHES[name]
+    assert (n, h) == (exp_n, exp_h)
+
+
+def test_native_triples_pure_catalyst(spark):
+    """The native variant must never enter Python (that's its point)."""
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry
+
+    df = entry.queries()["kg_triples_native"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p and "MapInPandas" not in p
