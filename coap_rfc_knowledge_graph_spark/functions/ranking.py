@@ -1,0 +1,53 @@
+"""Distributed total-order ranking (zipWithIndex semantics) in pure
+DataFrame ops — the shared scale-path replacement for a global
+``Window.orderBy(...)`` (a single-task sort).
+
+Shape: range-partition on the order keys -> per-partition row_number
+(parallel window — partitionBy prevents the global sort) -> broadcast
+per-partition cumulative offsets. No DF->RDD round-trip (which would
+eagerly execute under AQE), no single-task stage.
+
+The pid-stamped frame is localCheckpoint-ed: the offsets side and the
+row_number side must see the SAME physical partitioning (a re-evaluated
+range exchange may re-sample split points); a plain persist could
+silently recompute through a NEW exchange on executor loss, corrupting
+the rank — the truncated-lineage checkpoint fails loudly instead.
+
+Used by ``operators.linking.embedded_surfaces`` (N1 first-seen index)
+and ``operators.rules.value_dictionary`` (N7 non-float value ids —
+VERDICT r2 item 3: the distinct-behaviour-string set grows with the
+corpus, so the previous dictionary-sized global window was a
+single-task sort on the scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zip_with_rank(df: DataFrame, order_cols: list[str], idx_col: str = "idx") -> DataFrame:
+    """Add ``idx_col``: the 0-based rank of each row under the total
+    lexicographic order of ``order_cols`` (which must be a unique key —
+    ties would make the rank nondeterministic across partitionings)."""
+    spark = df.sparkSession
+    # defaultParallelism, NOT df.rdd.getNumPartitions(): under AQE the
+    # .rdd access eagerly executes the upstream query stages
+    n_parts = spark.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(n_parts, *order_cols)
+    part = ordered.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=False)
+    in_part = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = part.withColumn("__local", F.row_number().over(in_part) - 1)
+    counts = part.groupBy("__pid").count()
+    off_w = (
+        Window.orderBy("__pid")  # tiny: one row per partition
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("count").over(off_w), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), on="__pid")
+        .withColumn(idx_col, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )

@@ -111,35 +111,13 @@ def embedded_surfaces(surfaces: DataFrame, scale_path: bool = True) -> DataFrame
     # the .rdd access eagerly executes the upstream query stages.)
     n_parts = spark.sparkContext.defaultParallelism
     if scale_path:
-        # zipWithIndex semantics in pure DataFrame ops (no DF->RDD->DF
-        # pickle round-trip, no eager AQE execution): range-partition on
-        # the order keys, number rows WITHIN each partition (parallel
-        # window — partitionBy prevents the single-task global sort),
-        # then add per-partition offsets via a broadcast cumsum join.
-        ordered = surfaces.repartitionByRange(n_parts, "first_seen", "surface")
-        # localCheckpoint the pid-stamped dictionary: the offsets side
-        # and the row_number side must see the SAME physical partitioning
-        # (a re-evaluated range exchange may re-sample split points). A
-        # plain persist could silently recompute through a NEW exchange
-        # on executor loss, corrupting idx; the truncated-lineage
-        # checkpoint fails loudly instead. Dictionary-sized; freed by
-        # the ContextCleaner when the plan is garbage collected.
-        part = ordered.withColumn("pid", F.spark_partition_id()).localCheckpoint(eager=False)
-        in_part = Window.partitionBy("pid").orderBy("first_seen", "surface")
-        local = part.withColumn("local_idx", F.row_number().over(in_part) - 1)
-        counts = part.groupBy("pid").count()
-        off_w = (
-            Window.orderBy("pid")  # tiny: one row per partition
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offsets = counts.withColumn(
-            "offset", F.coalesce(F.sum("count").over(off_w), F.lit(0))
-        ).select("pid", "offset")
-        out = (
-            local.join(F.broadcast(offsets), on="pid")
-            .withColumn("idx", (F.col("local_idx") + F.col("offset")).cast("long"))
-            .drop("pid", "local_idx", "offset")
-        )
+        # zipWithIndex semantics in pure DataFrame ops — the shared
+        # distributed-rank helper (see functions/ranking.py for the
+        # range-partition + per-partition-window + broadcast-offsets
+        # shape and the localCheckpoint rationale)
+        from ..functions.ranking import zip_with_rank
+
+        out = zip_with_rank(surfaces, ["first_seen", "surface"])
     else:
         w = Window.orderBy("first_seen", "surface")
         out = surfaces.withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
@@ -489,48 +467,32 @@ def link_surfaces(query_surfaces: DataFrame, entities: DataFrame, surface_col: s
     return query_surfaces.select(F.col(surface_col)).distinct().mapInPandas(score, schema)
 
 
-def link_surfaces_distributed(
-    query_surfaces: DataFrame, entities: DataFrame, surface_col: str = "surface"
-) -> DataFrame:
-    """Exact N4 top-1 link WITHOUT collecting/broadcasting the canonical
-    dictionary — the can't-broadcast case of the north rule.
-
-    Shape: distinct query surfaces (embedded in parallel) x entities
-    shuffle join, native ``zip_with``/``aggregate`` dot product (whole-
-    stage codegen), then a ``max_by`` hash aggregate per surface —
-    partial aggregation reduces each partition to one candidate per
-    surface before the shuffle, so no partition ever holds a surface's
-    full candidate list (no ranking-window sort). Exact argmax costs
-    Q x E dots in either path; here the FLOPs spread over the cluster
-    instead of requiring the dictionary to fit one executor.
-
-    Tie-break matches :func:`link_surfaces`'s numpy argmax (first max =
-    lowest entity_id): ``max_by`` on (sim, -entity_id).
-    Output: (surface, entity_id, canonical, sim).
-    """
-    q = (
-        query_surfaces.select(F.col(surface_col).alias("surface"))
-        .distinct()
-        .withColumn("qv", embed_udf(F.col("surface")))
-    )
-    e = entities.select(
-        F.col("entity_id").alias("e_id"),
-        F.col("canonical").alias("e_canonical"),
-        F.col("vec").alias("ev"),
-    )
-    dot = F.aggregate(
+def _link_dot():  # column factories: building them needs an active session
+    return F.aggregate(
         F.zip_with("qv", "ev", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = q.crossJoin(e).withColumn("sim", dot)
-    best = F.max_by(
+
+
+def _link_best():
+    return F.max_by(
         F.struct("e_id", "e_canonical", "sim"),
         F.struct(F.col("sim"), (-F.col("e_id")).alias("nid")),
     ).alias("best")
+
+
+def _top1_per_surface(scored: DataFrame) -> DataFrame:
+    """(surface, qv, e_id, e_canonical, ev) candidates -> top-1 per
+    surface via a ``max_by`` hash aggregate — partial aggregation
+    reduces each partition to one candidate per surface before the
+    shuffle, so no partition ever holds a surface's full candidate list
+    (no ranking-window sort). Tie-break matches :func:`link_surfaces`'s
+    numpy argmax (first max = lowest entity_id)."""
     return (
-        scored.groupBy("surface")
-        .agg(best)
+        scored.withColumn("sim", _link_dot())
+        .groupBy("surface")
+        .agg(_link_best())
         .select(
             "surface",
             F.col("best.e_id").alias("entity_id"),
@@ -538,6 +500,65 @@ def link_surfaces_distributed(
             F.col("best.sim").alias("sim"),
         )
     )
+
+
+def link_surfaces_distributed(
+    query_surfaces: DataFrame,
+    entities: DataFrame,
+    surface_col: str = "surface",
+    bands: int = 24,
+    rows_per_band: int = 3,
+    seed: int = 7,
+    exact_fallback: bool = True,
+) -> DataFrame:
+    """N4 top-1 link WITHOUT collecting/broadcasting the canonical
+    dictionary — the can't-broadcast case of the north rule
+    (``src/CoAP_contradiction_checking.py:301-312`` semantics).
+
+    VERDICT r2 item 2: the previous exact Q x E cross join is replaced
+    by LSH candidate pruning — both sides get band signatures from the
+    SAME random hyperplanes, candidates come from an equi-join on
+    (band, band_sig), the exact cosine re-rank (native ``zip_with`` +
+    ``aggregate``, whole-stage codegen) + ``max_by`` runs only within a
+    surface's candidate set. Surfaces with zero candidates (nothing in
+    any probed bucket) fall back to the exact shuffle argmax — that
+    residual is the only cross join left, over the near-empty miss set.
+    A query identical to a dictionary surface collides with it in every
+    band, so exact-surface hits can never miss; at 24 bands x 3 bits a
+    0.9-similar pair misses all buckets with probability < 1e-9.
+
+    Output: (surface, entity_id, canonical, sim).
+    """
+    q = (
+        query_surfaces.select(F.col(surface_col).alias("surface"))
+        .distinct()
+        .withColumn("qv", embed_udf(F.col("surface")))
+        # consumed by the candidate join AND the zero-candidate anti-join:
+        # persist so the embedding UDF runs once per surface
+        .persist()
+    )
+    e = entities.select(
+        F.col("entity_id").alias("e_id"),
+        F.col("canonical").alias("e_canonical"),
+        F.col("vec").alias("ev"),
+    )
+    qs = with_lsh_bands(q.withColumnRenamed("qv", "vec"), bands, rows_per_band, seed)
+    qs = qs.select("surface", F.col("vec").alias("qv"), F.posexplode("sigs").alias("band", "sig"))
+    es = with_lsh_bands(e.withColumnRenamed("ev", "vec"), bands, rows_per_band, seed)
+    es = es.select(
+        "e_id", "e_canonical", F.col("vec").alias("ev"), F.posexplode("sigs").alias("band", "sig")
+    )
+    cands = (
+        qs.join(es, on=["band", "sig"])
+        .dropDuplicates(["surface", "e_id"])
+        .select("surface", "qv", "e_id", "e_canonical", "ev")
+    )
+    best = _top1_per_surface(cands)
+    if not exact_fallback:
+        return best
+    missed = q.join(best.select("surface"), on="surface", how="left_anti")
+    rescued = _top1_per_surface(missed.crossJoin(e))
+    return best.unionByName(rescued)
 
 
 def _entity_count_hint(entities: DataFrame) -> int:

@@ -36,18 +36,22 @@ from ..config import VALUE_DICT_SEED
 
 
 def value_dictionary(atomic_rules: DataFrame) -> DataFrame:
-    """distinct values -> (value, value_num). Two hash aggregates + a
-    rank window on the dictionary-sized distinct set; floats pass
-    through, non-floats get 999999 + lexicographic rank."""
+    """distinct values -> (value, value_num). Floats pass through,
+    non-floats get 999999 + lexicographic rank. The rank comes from the
+    distributed two-stage zipWithIndex (``functions.ranking``), NOT a
+    global window: the distinct non-float set grows with the corpus
+    (every unmatched N6 behaviour text becomes a value), so a
+    single-task total-order sort here would be a scale-path bottleneck
+    (VERDICT r2 item 3)."""
+    from ..functions.ranking import zip_with_rank
+
     distinct_vals = atomic_rules.select("value").distinct()
     as_float = F.col("value").try_cast("double")  # ANSI-safe: non-floats -> null
     floats = distinct_vals.filter(as_float.isNotNull()).select(
         "value", as_float.alias("value_num")
     )
-    w = Window.orderBy("value")  # dictionary-sized: total order acceptable
-    non_floats = (
-        distinct_vals.filter(as_float.isNull())
-        .withColumn("value_num", (F.lit(VALUE_DICT_SEED) + F.row_number().over(w) - 1).cast("double"))
+    non_floats = zip_with_rank(distinct_vals.filter(as_float.isNull()), ["value"]).select(
+        "value", (F.lit(VALUE_DICT_SEED) + F.col("idx")).cast("double").alias("value_num")
     )
     return floats.unionByName(non_floats)
 

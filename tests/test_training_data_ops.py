@@ -56,6 +56,19 @@ def test_exact_dedup(spark, docs):
     assert kept.filter(F.col("doc_id") == 1).count() == 0
 
 
+def test_exact_duplicates_bounds_member_list(spark):
+    """The per-group id array must hold only the K smallest members —
+    the head dup group at web scale is unbounded (VERDICT r2 wrong #2) —
+    while n_docs/keep_id stay exact across the salted two-level agg."""
+    rows = [(i, "same text") for i in range(50)] + [(100, "unique")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = exact_duplicates(docs, max_member_ids=5).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_docs"] == 50 and g["keep_id"] == 0
+    assert g["doc_ids"] == [0, 1, 2, 3, 4]
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert pairs[(0, 1)] == 1.0
