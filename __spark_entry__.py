@@ -333,8 +333,11 @@ def _kg_findings(spark, sf_dir):
     appropriate keyword pattern as q_kg_contradictions). Memoized per
     (session, sf_dir): a driver run evaluating all five Q2-Q6 entries
     would otherwise rebuild the whole extraction + solver chain (and
-    its internal persists) five times for identical results."""
-    key = (id(spark), sf_dir)
+    its internal persists) five times for identical results. Keyed on
+    the Spark application id, not ``id(spark)``: CPython can reuse a
+    stopped session's address, which would serve a DataFrame bound to a
+    dead SparkContext."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _KG_FINDINGS_MEMO:
         return _KG_FINDINGS_MEMO[key]
     from coap_rfc_knowledge_graph_spark.operators.rule_filter import rule_sentences

@@ -45,6 +45,14 @@ _ABBREVIATIONS = frozenset(
 # unknown capitalized words ("OSCORE") do not.
 _SENT_STARTERS = frozenset({"If", "In", "The", "For"})
 
+# Initial letters whose period splits before a sentence starter or a
+# digit. Punkt's decision here is per-type learned statistics: the
+# frozen corpus shows "A. If" / "Appendix A. The" / "with: B. In" /
+# "Class U. For" / "Appendix B. 5.10.2." splitting, but "Class E. The"
+# and "Appendix D. 12.1." merging — the pretrained model treats "e."
+# and "d." as abbreviation-like types. Pinned from the frozen corpus.
+_SPLITTING_INITIALS = frozenset({"A", "B", "U"})
+
 _OPENERS = "\"'([{"
 _CLOSERS = "\"')]}"
 
@@ -88,24 +96,48 @@ def sent_tokenize(text: str) -> list[str]:
         end = j
         while end < n and text[end] in _CLOSERS:
             end += 1
-        # must be followed by whitespace (token-final punctuation)
+        # must be followed by whitespace (token-final punctuation)...
         k = end
         while k < n and text[k].isspace():
             k += 1
         if k == end or k >= n:
-            i = end
             if k >= n:
                 break
+            # ...EXCEPT "target.); or"-style sites: Punkt's period-context
+            # regex still sees the period inside "target.);" as a
+            # candidate, and boundary realignment only pulls the closer
+            # run back into the previous sentence when it is followed by
+            # whitespace — ");" is not, so the break lands AFTER the
+            # period and "); or ..." starts the next sentence (rfc7252
+            # §11.3 attack list). Only a single period after a plain
+            # multi-letter non-abbreviation word behaves this way.
+            word = _word_before(text, i)
+            if (
+                j - i == 1
+                and c == "."
+                and end > j  # closers were consumed
+                and len(word) > 1
+                and word[-1:].isalpha()
+                and word.lower() not in _ABBREVIATIONS
+            ):
+                sentences.append(text[start:j])  # period in, closers out
+                start = j
+            i = end
             continue
         nxt = text[k]
         # "•" bullets start sentences; lowercase "o "/"* " RFC bullets only
         # rescue ambiguous (ellipsis) candidates — after a NUMBER Punkt
         # merges "...range 0 to 63. o Name: ..." (lowercase next, no break)
         is_bullet = (nxt in "o*" and k + 1 < n and text[k + 1].isspace()) or nxt == "•"
-        nxt_ok = nxt.isupper() or nxt in _OPENERS or nxt.isdigit() or nxt == "•"
+        # openers do NOT rescue an ambiguous run: Punkt merges
+        # "d5 ... [binary]" (rfc8613 appendix A examples) — "[" starts an
+        # ortho-unknown token
+        nxt_ok = nxt.isupper() or nxt.isdigit() or nxt == "•"
         if j - i > 1:
-            # ellipsis / "?!" runs: ambiguous, need a sentence-looking start
-            if not (nxt_ok or is_bullet):
+            # ellipsis / "?!" runs: ambiguous, need a sentence-looking
+            # start; a run wrapped by a closing quote ('or ".." (as ...')
+            # is not period-final at all for Punkt -> never a boundary
+            if end > j or not (nxt_ok or is_bullet):
                 i = end
                 continue
         elif c == ".":
@@ -118,12 +150,16 @@ def sent_tokenize(text: str) -> list[str]:
                 i = end  # known abbreviation (raw token: "(e.g" fails -> split)
                 continue
             if len(word) == 1 and word.isalpha():
-                # single initial ("B. Frank", "step A.") — boundary only
-                # before a frequent sentence starter ("A. If ...", rfc8613
-                # appendix steps; "Appendix A. The ..." rfc8974) — unknown
-                # capitalized words ("Appendix A. OSCORE ...") merge
+                # single initial: lowercase initials ("...length n. If")
+                # always merge; capitalized ones split before a digit
+                # ("Appendix B. 5.10.2.") or before a frequent sentence
+                # starter — and only for initials whose learned type
+                # statistics say so ("A. If" splits, "Class E. The"
+                # merges; "B. Frank" merges — next word not a starter)
                 nxt_word = text[k:k + 12].split()[0] if text[k:] else ""
-                if nxt_word.rstrip(",.;:").strip("\"'()[]") not in _SENT_STARTERS:
+                starter = nxt_word.rstrip(",.;:").strip("\"'()[]") in _SENT_STARTERS
+                split_initial = (nxt.isdigit() or starter) and word in _SPLITTING_INITIALS
+                if not split_initial:
                     i = end
                     continue
             elif numeric and (nxt.isalpha() and not nxt.isupper()):
@@ -256,7 +292,7 @@ def extract_mqtt_sentences(data: bytes) -> list[str]:
     Reproduces ``data/pretrain_sentences.txt`` block 4 sentence-for-sentence
     (tests/test_pdf_text.py::test_mqtt_pdf_matches_reference_corpus).
     """
-    lines, is_spec = _spec_pdf_lines(data, 10, 118)
+    lines, is_spec = _spec_pdf_lines(data, 10, 118, "mqtt-v5")
     cleaned = clean_spec_lines(lines, ("mqtt-v5", "Standards Track Work Product"))
     sentences = sent_tokenize("\n".join(cleaned))
     sentences = clean_spec_sentences(sentences, drop_contains=("Figure",))
@@ -265,23 +301,34 @@ def extract_mqtt_sentences(data: bytes) -> list[str]:
     return sentences[:46] + sentences[49:]
 
 
-def _spec_pdf_lines(data: bytes, first: int, last: int) -> tuple[list[str], bool]:
+def _spec_pdf_lines(data: bytes, first: int, last: int,
+                    fingerprint: str) -> tuple[list[str], bool]:
     """Page lines for a spec-shaped PDF. The MQTT/AMQP page ranges and
     the MQTT positional splice are reference-corpus fidelity behaviors
     for the REAL spec documents; an arbitrary crawled PDF whose url
     merely mentions the protocol (e.g. a 5-page "mqtt-tutorial.pdf")
-    must not get pages sliced away or sentences spliced out. If the
-    document is shorter than the spec's page range, decode the WHOLE
-    document and signal non-spec."""
+    must not get pages sliced away or sentences spliced out. Two gates:
+    the document must span the spec's page range, AND the selected pages
+    must carry the spec's own boilerplate marker (``fingerprint`` — the
+    per-page document identifier the OASIS template stamps on every
+    page, e.g. "mqtt-v5"). A long crawled PDF that merely matches the
+    url pattern fails the fingerprint and is decoded whole, unspliced."""
     from .pdf_text import PDFDocument, chunks_to_lines, page_chunks
 
     doc = PDFDocument(data)
     pages = doc.pages()
+
+    def decode(selected) -> list[str]:
+        lines: list[str] = []
+        for page in selected:
+            lines.extend(chunks_to_lines(page_chunks(doc, page)))
+        return lines
+
     is_spec = len(pages) >= last
-    selected = pages[first:last] if is_spec else pages
-    lines: list[str] = []
-    for page in selected:
-        lines.extend(chunks_to_lines(page_chunks(doc, page)))
+    lines = decode(pages[first:last] if is_spec else pages)
+    if is_spec and not any(fingerprint in ln for ln in lines):
+        is_spec = False
+        lines = decode(pages)
     return lines, is_spec
 
 
@@ -294,7 +341,7 @@ def extract_amqp_sentences(data: bytes) -> list[str]:
     of its frozen test data, so this path is pinned structurally
     (tests/test_pdf_text.py) rather than against a frozen corpus block.
     """
-    lines, _ = _spec_pdf_lines(data, 16, 119)
+    lines, _ = _spec_pdf_lines(data, 16, 119, "amqp-core")
     cleaned = clean_spec_lines(
         lines,
         (

@@ -67,34 +67,42 @@ _ENTITY_SCHEMA = T.StructType(
         T.StructField("entity_id", T.LongType()),
         T.StructField("canonical", T.StringType()),
         T.StructField("n_rules", T.IntegerType()),
+        T.StructField("status", T.StringType()),
     ]
 )
 
 
 def check_entity_contradiction(rules: DataFrame) -> DataFrame:
     """Q1: entities whose full rule set is unsatisfiable.
-    -> contradiction_entities(entity_id, canonical, n_rules)."""
+    -> contradiction_entities(entity_id, canonical, n_rules, status).
+
+    ``status`` distinguishes a proven ``'contradiction'`` from an
+    ``'unverified'`` solver branch-cap overflow: an entity whose rule
+    set is too complex to verify needs review, but must not be
+    indistinguishable from a genuinely unsatisfiable one downstream."""
 
     def per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
         clauses = [_clause(c) for c in pdf["clause_json"]]
+        status = "contradiction"
         try:
             sat = check_sat(clauses)
         except ValueError:
             # branch-cap overflow (only reachable here: the pairwise
             # checks solve 2 clauses at a time). Scope the failure to
-            # THIS entity instead of killing the job, and surface it as
-            # a finding — an entity whose rule set is too complex to
-            # verify needs review, the opposite of a silent pass.
+            # THIS entity instead of killing the job, and emit it as a
+            # review finding — the opposite of a silent pass.
             sat = False
+            status = "unverified"
         if sat:
-            return pd.DataFrame(columns=["entity_id", "canonical", "n_rules"]).astype(
-                {"entity_id": "int64", "canonical": "object", "n_rules": "int32"}
+            return pd.DataFrame(columns=["entity_id", "canonical", "n_rules", "status"]).astype(
+                {"entity_id": "int64", "canonical": "object", "n_rules": "int32", "status": "object"}
             )
         return pd.DataFrame(
             {
                 "entity_id": [pdf["entity_id"].iloc[0]],
                 "canonical": [pdf["canonical"].iloc[0]],
                 "n_rules": pd.array([len(pdf)], dtype="int32"),
+                "status": [status],
             }
         )
 

@@ -60,6 +60,28 @@ def _stub_loader():
     return stub_models.tag_batch
 
 
+_SPECIALS = ("[CLS]", "[SEP]", "[PAD]")
+
+
+def _realign_wordpiece_labels(toks, n_words, word_ids, pos_labels):
+    """Map per-WORDPIECE predictions back onto the repo's whitespace
+    token list: HF logits carry [CLS] at position 0 and split words into
+    subwords, so positional truncation would shift every label. Takes
+    the first subword's label per word (``word_ids`` from the HF fast
+    tokenizer's encoding), re-inserting "O" at our special-token
+    positions. Pure function so the alignment is unit-testable without
+    transformers installed."""
+    word_labels = ["O"] * n_words
+    seen = set()
+    for pos, wid in enumerate(word_ids):
+        if wid is None or wid in seen:  # specials / later subwords
+            continue
+        seen.add(wid)
+        word_labels[wid] = pos_labels[pos]
+    it = iter(word_labels)
+    return [("O" if t in _SPECIALS else next(it)) for t in toks]
+
+
 def _hf_loader():  # pragma: no cover - requires transformers+torch
     """Real-model factory for the swap point: loads the checkpoint named
     by ``$SPARK_GRAFT_HF_MODEL`` ONCE per task (the iterator UDF calls the
@@ -77,16 +99,21 @@ def _hf_loader():  # pragma: no cover - requires transformers+torch
     model.eval()
 
     def tag(token_lists):
-        texts = [" ".join(t for t in toks if t not in ("[CLS]", "[SEP]", "[PAD]")) for toks in token_lists]
-        enc = tok(texts, return_tensors="pt", padding=True, truncation=True)
+        # feed our whitespace tokens as pre-split words so the encoding
+        # carries word_ids(), then realign first-subword labels per word
+        # (the reference scores the same tokenizer's positions, so its
+        # positions line up by construction; ours must be realigned).
+        words_lists = [[t for t in toks if t not in _SPECIALS] for toks in token_lists]
+        enc = tok(words_lists, is_split_into_words=True, return_tensors="pt",
+                  padding=True, truncation=True)
         with torch.no_grad():
             pred = model(**enc).logits.argmax(-1)
         out = []
         for i, toks in enumerate(token_lists):
-            ids = pred[i].tolist()
-            labels = [model.config.id2label.get(j, "O") for j in ids]
-            # align to our token count; surplus model positions are dropped
-            out.append((labels + ["O"] * len(toks))[: len(toks)])
+            labels = [model.config.id2label.get(int(j), "O") for j in pred[i].tolist()]
+            out.append(
+                _realign_wordpiece_labels(toks, len(words_lists[i]), enc.word_ids(batch_index=i), labels)
+            )
         return out
 
     return tag

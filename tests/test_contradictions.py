@@ -60,8 +60,29 @@ def flagged(spark, rules_df):
 
 
 def test_q1_flags_expected_entities(flagged):
-    names = {r["canonical"] for r in flagged.collect()}
+    rows = flagged.collect()
+    names = {r["canonical"] for r in rows}
     assert names == {"server", "token", "option"}
+    # all three are PROVEN unsat, not branch-cap overflows
+    assert {r["status"] for r in rows} == {"contradiction"}
+
+
+def test_q1_branch_cap_overflow_reported_as_unverified(spark):
+    """A rule set whose OR fan-out exceeds the solver branch cap must
+    surface as status='unverified', distinguishable from a proven
+    contradiction (rule set here is trivially satisfiable)."""
+    rows = [
+        _rule(
+            "u", k, 0, "Entity rule", 9, "huge",
+            [("v%d" % k, ">", 0.0), ("v%d" % k, ">", 1.0)], connective="OR", n=k + 1,
+        )
+        for k in range(18)  # 2^18 = 262144 > max_branches default 200k
+    ]
+    df = spark.createDataFrame(rows, _RULES_SCHEMA)
+    got = check_entity_contradiction(df).collect()
+    assert len(got) == 1
+    assert got[0]["canonical"] == "huge"
+    assert got[0]["status"] == "unverified"
 
 
 def test_q2_single_rule(rules_df, flagged):

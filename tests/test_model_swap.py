@@ -60,6 +60,26 @@ def test_iterator_udf_parity_and_load_once(spark):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
+def test_wordpiece_label_realignment():
+    """The HF path's subword->word label mapping, unit-tested without
+    transformers: logits arrive per WORDPIECE ([CLS] first, subword
+    splits sharing a word id) and must map back to the repo's
+    whitespace token list by FIRST-subword label, with "O" re-inserted
+    at our special-token positions — positional truncation would shift
+    every label (round-2 ADVICE, mentions.py)."""
+    from coap_rfc_knowledge_graph_spark.operators.mentions import _realign_wordpiece_labels
+
+    # sentence tokens as the repo's tokenizer emits them
+    toks = ["[CLS]", "The", "CoAP", "server", "[SEP]", "[PAD]"]
+    # HF encoding: [CLS]=None, The=0, Co+##AP (word 1, two pieces),
+    # server=2, [SEP]=None, pad=None
+    word_ids = [None, 0, 1, 1, 2, None, None]
+    pos_labels = ["B-ENT", "O", "B-ENT", "I-ENT", "I-ENT", "O", "O"]
+    got = _realign_wordpiece_labels(toks, 3, word_ids, pos_labels)
+    # first-subword label wins for "CoAP"; [CLS] logit ("B-ENT") dropped
+    assert got == ["O", "O", "B-ENT", "I-ENT", "O", "O"]
+
+
 @pytest.mark.skipif(
     importlib.util.find_spec("transformers") is None
     or importlib.util.find_spec("torch") is None

@@ -177,3 +177,29 @@ def test_short_pdf_routed_generically_not_spliced():
     pages = [[f"Tutorial sentence number {i} MUST be kept."] for i in range(5)]
     out = extract_document("https://example.com/mqtt-tutorial.pdf", _minimal_pdf(pages), None, "en")
     assert out == [f"Tutorial sentence number {i} MUST be kept." for i in range(5)]
+
+
+def test_long_nonspec_pdf_fails_fingerprint_gate():
+    """Page count alone must not trigger the spec page-range/splice: a
+    130-page crawled PDF with 'mqtt' in its url but WITHOUT the spec's
+    per-page 'mqtt-v5' boilerplate marker is decoded whole, unspliced
+    (content-fingerprint gate in _spec_pdf_lines)."""
+    from coap_rfc_knowledge_graph_spark.functions.text_extract import extract_document
+
+    pages = [[f"Handbook sentence number {i} MUST be kept."] for i in range(130)]
+    out = extract_document("https://example.com/mqtt-handbook.pdf", _minimal_pdf(pages), None, "en")
+    assert out == [f"Handbook sentence number {i} MUST be kept." for i in range(130)]
+
+
+def test_long_spec_shaped_pdf_passes_fingerprint_gate():
+    """A document that spans the spec range AND carries the per-page
+    marker gets the spec treatment: front pages [0:10) skipped and the
+    positional splice applied."""
+    from coap_rfc_knowledge_graph_spark.functions.text_extract import extract_mqtt_sentences
+
+    pages = [["Front matter %d." % i] for i in range(10)] + [
+        ["mqtt-v5.0 page marker", f"Spec sentence number {i} MUST hold."] for i in range(110)
+    ]
+    out = extract_mqtt_sentences(_minimal_pdf(pages))
+    body = [f"Spec sentence number {i} MUST hold." for i in range(108)]
+    assert out == body[:46] + body[49:]

@@ -99,30 +99,22 @@ def test_rfc_extraction_deterministic():
     assert a == b
 
 
-def test_rfc_extraction_overlap_with_reference_corpus():
-    """Our Punkt-like splitter vs the frozen nltk output of the reference
-    (data/pretrain_sentences.txt blocks 0-3 = the four RFCs): corpus-level
-    sentence P/R must clear the 0.99 gate (round-2 level: P .993 / R .996).
-    Residual divergence is Punkt's learned orthographic statistics on
-    figure-art/protocol-dump tokens, which no deterministic rule set
-    reproduces exactly. The enforced BYTE-identical contract is
-    Spark-vs-in-process (test_sentences_spark); the PDF block is exact
-    (test_pdf_text)."""
+@pytest.mark.parametrize("i,name", list(enumerate(["rfc7252", "rfc7959", "rfc8613", "rfc8974"])))
+def test_rfc_extraction_byte_identical_to_reference_corpus(i, name):
+    """The full byte-identical contract (north rule): our extraction vs
+    the reference's frozen nltk output (data/pretrain_sentences.txt
+    blocks 0-3, writer prepare_pretrain_data.py:250-272) must be EXACT —
+    every sentence, byte for byte, in order. Closed in round 3 (was
+    P .993 / R .996) by pinning the pretrained Punkt model's per-type
+    initial statistics, closer-run realignment, and ellipsis ortho
+    behavior (see sent_tokenize)."""
     blocks = (
         open(os.path.join(DATA, "pretrain_sentences.txt"), encoding="utf-8").read().split("\n\n")
     )
-    names = ["rfc7252", "rfc7959", "rfc8613", "rfc8974"]
-    tot_ours = tot_ref = tot_match = 0
-    for i, name in enumerate(names):
-        raw = open(os.path.join(DATA, f"{name}.txt"), encoding="utf-8").read()
-        ours = set(extract_rfc_sentences(raw, *RFC_HEADINGS[name]))
-        ref = set(blocks[i].split("\n"))
-        tot_ours += len(ours)
-        tot_ref += len(ref)
-        tot_match += len(ours & ref)
-    precision = tot_match / tot_ours
-    recall = tot_match / tot_ref
-    assert precision >= 0.99 and recall >= 0.99, (precision, recall)
+    raw = open(os.path.join(DATA, f"{name}.txt"), encoding="utf-8").read()
+    ours = extract_rfc_sentences(raw, *RFC_HEADINGS[name])
+    ref = [s for s in blocks[i].split("\n") if s]
+    assert ours == ref
 
 
 def test_clean_spec_lines_page_numbers_and_prefixes():
