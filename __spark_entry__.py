@@ -302,6 +302,24 @@ def q_media_features(spark, sf_dir):
     return extract_features(media).select("media_id", "mime", "n_bytes")
 
 
+def q_nsp_pairs(spark, sf_dir):
+    """M11 data-prep: NSP sentence-pair generation over documents —
+    per-doc lead() next sentence vs congruential-draw random partner
+    (ref pretrain_iot_BERT.py:23-31; train loop out of scope)."""
+    from coap_rfc_knowledge_graph_spark.operators.pretrain import nsp_pairs
+
+    return nsp_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_mlm_examples(spark, sf_dir):
+    """M11 data-prep: 15% MLM masking of [CLS] a [SEP] b [SEP] token
+    streams, specials exempt (ref pretrain_iot_BERT.py:37-43) — one
+    native transform() lambda, no Python worker."""
+    from coap_rfc_knowledge_graph_spark.operators.pretrain import mlm_examples
+
+    return mlm_examples(_t(spark, sf_dir, "documents"))
+
+
 def q_literal_overlap(spark, sf_dir):
     """Q7: rule pairs sharing a variable — the real `literal_overlap`
     operator (explode atoms -> distinct -> equi-self-join) over a
@@ -455,6 +473,22 @@ def q_kg_coref(spark, sf_dir):
     return resolve_coreferences(sents, pronouns=["it", "they"])
 
 
+def q_kg_variables(spark, sf_dir):
+    """M13: sentence-only GPT-2 variable extractor (stub head) over the
+    RFC corpus's rule sentences — the single-shot alternative to the
+    M9+M10 two-stage path (ref variable_extractor_generate_GPT-2.py:
+    56-91). Generative model UDF -> rows-only check."""
+    from coap_rfc_knowledge_graph_spark.operators.rule_filter import rule_sentences
+    from coap_rfc_knowledge_graph_spark.operators.sentences import extract_sentences
+    from coap_rfc_knowledge_graph_spark.operators.variables import extract_variables
+    from coap_rfc_knowledge_graph_spark.sources.pages import rfc_pages
+
+    sents = extract_sentences(rfc_pages(spark), url_partitions=4)
+    return extract_variables(rule_sentences(sents)).select(
+        "url", "sent_id", "sentence", "behaviours"
+    )
+
+
 def q_fewshot_prompts(spark, sf_dir):
     """M12: retrieval-augmented few-shot prompt table — top-3 annotated
     examples per query by scaled-integer embedding dot, assembled into
@@ -554,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities_native": q_kg_entities_native,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
+        "nsp_pairs": q_nsp_pairs,
+        "mlm_examples": q_mlm_examples,
         "literal_overlap": q_literal_overlap,
         "fewshot_prompts": q_fewshot_prompts,
         "kg_single_rule": q_kg_single_rule,
@@ -563,10 +599,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conditional": q_kg_conditional,
         "kg_sentences": q_kg_sentences,
         "kg_coref": q_kg_coref,
+        "kg_variables": q_kg_variables,
         "kg_triples": q_kg_triples,
         "kg_entities": q_kg_entities,
         "kg_contradictions": q_kg_contradictions,
     }
+
+
+def _pretrain_ctes() -> str:
+    """Shared CTE chain for the M11 pretrain oracles: 16-word sentence
+    windows -> 0-based corpus rank -> congruential NSP draw -> partner
+    equi-join, reproducing ``operators.pretrain`` arithmetic verbatim
+    (DuckDB list slicing is 1-based inclusive, matching Spark's
+    ``slice(toks, i*16+1, 16)``)."""
+    return """
+        WITH s AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        sen0 AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS sent_id,
+                 array_to_string(toks[i*16+1 : i*16+16], ' ') AS sentence
+          FROM s, LATERAL (SELECT unnest(range(CAST(ceil(len(toks)/16.0) AS INT))) AS i) g
+        ),
+        sen AS (SELECT * FROM sen0 WHERE sentence <> ''),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY doc_id, sent_id) - 1 AS idx FROM sen
+        ),
+        n AS (SELECT COUNT(*) AS n FROM sen),
+        drawn AS (
+          SELECT r.doc_id, r.sent_id, r.sentence,
+                 lead(sentence) OVER (PARTITION BY doc_id ORDER BY sent_id) AS next_sentence,
+                 ((doc_id % 1048576) * 1048573 + (sent_id % 1048576)) * 48271 % 2147483647 AS h
+          FROM ranked r
+        ),
+        d2 AS (
+          SELECT doc_id, sent_id, sentence, next_sentence,
+                 CAST(h % 100 < 50 AS INT) AS is_next,
+                 h % (SELECT n FROM n) AS partner_idx
+          FROM drawn
+        ),
+        nsp AS (
+          SELECT d2.doc_id, d2.sent_id, d2.sentence AS sent_a,
+                 CASE WHEN is_next = 1 THEN next_sentence ELSE p.sentence END AS sent_b,
+                 is_next
+          FROM d2 JOIN ranked p ON p.idx = d2.partner_idx
+          WHERE (CASE WHEN is_next = 1 THEN next_sentence ELSE p.sentence END) IS NOT NULL
+        )"""
 
 
 def _native_triples_ctes() -> str:
@@ -620,6 +698,7 @@ def _native_triples_ctes() -> str:
 def oracle_sql() -> dict[str, str]:
     modal = r"(?i)\b(must|shall|should|required|recommended|may|optional|stream|window)\b"
     native_ctes = _native_triples_ctes()
+    pretrain_ctes = _pretrain_ctes()
     return {
         "modal_filter": f"""
             SELECT doc_id, lang, source FROM documents
@@ -781,6 +860,30 @@ def oracle_sql() -> dict[str, str]:
             FROM vars a
             JOIN vars b ON a.entity_id = b.entity_id AND a.var = b.var
                        AND a.rule_id < b.rule_id
+        """,
+        "nsp_pairs": pretrain_ctes + """
+            SELECT doc_id, sent_id, sent_a, sent_b, is_next FROM nsp
+        """,
+        "mlm_examples": pretrain_ctes + """,
+            toked AS (
+              SELECT doc_id, sent_id, is_next,
+                     ['[CLS]'] || string_split(sent_a, ' ') || ['[SEP]']
+                               || string_split(sent_b, ' ') || ['[SEP]'] AS toks
+              FROM nsp
+            ),
+            masked AS (
+              SELECT doc_id, sent_id, is_next,
+                     list_transform(toks, (t, i) ->
+                       CASE WHEN t IN ('[CLS]', '[SEP]') THEN t
+                            WHEN ((doc_id % 1048576) * 131071 + (sent_id % 1048576) * 8191
+                                  + (i - 1) * 524287) % 2147483647 % 10000 < 1500
+                            THEN '[MASK]' ELSE t END) AS mtoks
+              FROM toked
+            )
+            SELECT doc_id, sent_id, is_next,
+                   array_to_string(mtoks, ' ') AS masked_text,
+                   CAST(len(list_filter(mtoks, t -> t = '[MASK]')) AS INT) AS n_masked
+            FROM masked
         """,
         "fewshot_prompts": """
             WITH iv AS (

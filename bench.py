@@ -65,18 +65,29 @@ def main() -> None:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     n_docs = docs.count()
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
 
     def timed(name: str, fn, repeat: int = 1):
         """min-of-N wall time: this host's page-fault/scheduling noise
-        swings identical runs 2-3x; the minimum is the code's cost."""
-        best = None
+        swings identical runs 2-3x; the minimum is the code's cost. ALL
+        samples are recorded in the top-level "spread" object (n / min /
+        med / max) so every reported number carries its repeat count and
+        noise interval — round-over-round comparisons need the interval,
+        not an unreproducible best case (VERDICT r2 'bench hygiene')."""
+        samples = []
         out = None
         for _ in range(repeat):
             t0 = time.perf_counter()
             out = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        spread[name] = {
+            "n": len(samples),
+            "min": round(samples[0], 3),
+            "med": round(samples[len(samples) // 2], 3),
+            "max": round(samples[-1], 3),
+        }
         return out
 
     # flagship: end-to-end triple extraction
@@ -108,7 +119,7 @@ def main() -> None:
     # warm re-run (fresh lineage, caches dropped): steady-state number
     # used for throughput — excludes one-off Python-worker/JVM warmup
     spark.catalog.clearCache()
-    timed("kg_triples", run_extract)
+    timed("kg_triples", run_extract, repeat=2)
     flagship = min(timings["kg_triples"], timings["kg_triples_cold"])
     timings["kg_triples"] = flagship
 
@@ -144,6 +155,7 @@ def main() -> None:
                 "value": flagship,
                 "unit": "sec",
                 "queries": queries_out,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

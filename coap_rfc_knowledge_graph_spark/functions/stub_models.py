@@ -298,3 +298,28 @@ def answer_coref(context: str, pronoun: str, occurrence: int) -> str:
 
 def answer_coref_batch(rows: list[tuple[str, str, int]]) -> list[str]:
     return [answer_coref(c, p, n) for c, p, n in rows]
+
+
+# --- M13 variable extractor (sentence-only generative head) ---------------------------
+
+_SKIP_CAPS = {"The", "Then", "A", "An", "This", "That", "If", "When", "It", "Its",
+              "These", "Those", "They", "There", "Thus", "In", "For", "As", "See"}
+
+
+def extract_variables(sentence: str) -> str:
+    """GPT-2 variable-extractor stand-in: ``Sentence: X\\nBehaviours:``
+    -> the same ``entity @ behaviour = True|False;`` grammar as M10, but
+    with the subject inferred from the SENTENCE ALONE (the reference's
+    M13 model sees no context — ``src/variable_extractor_generate_
+    GPT-2.py:56-62`` prompts with just the rule sentence). Subject =
+    first capitalized run that isn't a determiner/modal."""
+    for m in _CAP_RUN_RE.finditer(sentence):
+        words = [w for w in m.group(1).split() if w not in _SKIP_CAPS and w not in _MODALS]
+        c = " ".join(words)
+        if c and len(c) > 1:
+            return generate_properties(sentence, c)
+    return generate_properties(sentence, "unknown entity")
+
+
+def extract_variables_batch(sentences: list[str]) -> list[str]:
+    return [extract_variables(s) for s in sentences]

@@ -23,6 +23,9 @@ an array<struct> column.
 
 from __future__ import annotations
 
+import re
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -67,10 +70,85 @@ def _split_udf(sentences: pd.Series) -> pd.Series:
     return pd.Series(stub_models.split_condition_batch(list(sentences)))
 
 
-def split_conditions(rule_sentences_df: DataFrame) -> DataFrame:
+def _stub_split_loader():
+    """Default model factory: the deterministic condition splitter.
+    Returns ``split(sentences) -> [(condition, clause), ...] lists``."""
+    return stub_models.split_condition_batch
+
+
+_SPLIT_LINE_RE = re.compile(r"(Antecedent|Consequent)\s*:\s*([^;\n]+)[;.]?", re.IGNORECASE)
+
+
+def _parse_split_generation(sentence: str, decoded: str) -> list[tuple[str, str]]:
+    """Pure parse of one decoded GPT-2 split sequence into the
+    (condition, clause) contract (``src/condition_split.py:60-66``
+    output grammar: ``Antecedent: ...;\\nConsequent: ...;`` lines,
+    possibly several pairs, or ``Not applicable`` -> a single Entity
+    rule). Unit-testable without transformers."""
+    _, sep, tail = decoded.rpartition("Antecedent:")
+    gen = ("Antecedent:" + tail) if sep else decoded
+    if "not applicable" in gen.lower():
+        return [("Entity rule", sentence)]
+    pairs = [
+        (f"{kind.capitalize()} rule", clause.strip())
+        for kind, clause in _SPLIT_LINE_RE.findall(gen)
+        if clause.strip()
+    ]
+    return pairs or [("Entity rule", sentence)]
+
+
+def _hf_split_loader():  # pragma: no cover - requires transformers+torch
+    """Real-model factory for the M9 swap point: the fine-tuned GPT-2
+    named by ``$SPARK_GRAFT_HF_SPLIT_MODEL``, loaded ONCE per task;
+    greedy decode of ``Sentence: X\\nAntecedent:`` prompts
+    (``src/all_MQTT_condition_split.py:8-16, 85-91``)."""
+    import os
+
+    import torch
+    from transformers import AutoModelForCausalLM, AutoTokenizer
+
+    name = os.environ["SPARK_GRAFT_HF_SPLIT_MODEL"]
+    tok = AutoTokenizer.from_pretrained(name)
+    if tok.pad_token is None:
+        tok.pad_token = tok.eos_token
+    model = AutoModelForCausalLM.from_pretrained(name)
+    model.eval()
+
+    def split(sentences):
+        prompts = [f"Sentence: {s}\nAntecedent:" for s in sentences]
+        enc = tok(prompts, return_tensors="pt", padding=True, truncation=True)
+        with torch.no_grad():
+            out = model.generate(
+                **enc, max_length=300, do_sample=False, pad_token_id=tok.eos_token_id
+            )
+        return [
+            _parse_split_generation(s, tok.decode(seq, skip_special_tokens=True))
+            for s, seq in zip(sentences, out)
+        ]
+
+    return split
+
+
+def make_split_udf(model_loader=_stub_split_loader):
+    """Iterator-form pandas UDF: the splitter factory runs once per
+    TASK, then decodes every Arrow batch (load-once/score-many — the
+    shared swap shape; see ``mentions.make_mentions_udf``)."""
+
+    @pandas_udf(_SPLIT_SCHEMA)
+    def udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        split = model_loader()  # once per task, NOT per batch
+        for sentences in batches:
+            yield pd.Series(split(list(sentences)))
+
+    return udf
+
+
+def split_conditions(rule_sentences_df: DataFrame, model_loader=None) -> DataFrame:
     """rule sentences -> clauses(url, sent_id, rule_num, is_strong,
-    sentence, condition, clause, clause_id)."""
-    arr = rule_sentences_df.withColumn("splits", _split_udf(F.col("sentence")))
+    sentence, condition, clause, clause_id). ``model_loader`` swaps in a
+    real checkpoint factory (``_hf_split_loader``)."""
+    split_udf = _split_udf if model_loader is None else make_split_udf(model_loader)
+    arr = rule_sentences_df.withColumn("splits", split_udf(F.col("sentence")))
     return arr.select(
         "url",
         "sent_id",
@@ -91,17 +169,81 @@ def _properties_udf(clauses: pd.Series, entities: pd.Series) -> pd.Series:
     return pd.Series(stub_models.generate_properties_batch(list(clauses), list(entities)))
 
 
-def generate_behaviours(clauses: DataFrame, mentions: DataFrame) -> DataFrame:
+def _stub_properties_loader():
+    """Default model factory for the make-form properties UDF: adapts
+    the deterministic grammar stub to the (context, clause, entity) row
+    contract (the stub ignores context — the real model consumes it)."""
+
+    def generate(contexts, clauses, entities):
+        return stub_models.generate_properties_batch(list(clauses), list(entities))
+
+    return generate
+
+
+def _hf_properties_loader():  # pragma: no cover - requires transformers+torch
+    """Real-model factory for the M10 swap point: the fine-tuned GPT-2
+    named by ``$SPARK_GRAFT_HF_PROPERTIES_MODEL``, loaded ONCE per task;
+    greedy decode of ``Context: C\\nSentence: S\\nProperties:`` prompts
+    (``src/properties_extractor.py:64-71``,
+    ``src/all_MQTT_properties_extraction.py:11-22, 115-121``). The
+    grammar string is everything after the last ``Properties:``."""
+    import os
+
+    import torch
+    from transformers import AutoModelForCausalLM, AutoTokenizer
+
+    name = os.environ["SPARK_GRAFT_HF_PROPERTIES_MODEL"]
+    tok = AutoTokenizer.from_pretrained(name)
+    if tok.pad_token is None:
+        tok.pad_token = tok.eos_token
+    model = AutoModelForCausalLM.from_pretrained(name)
+    model.eval()
+
+    def generate(contexts, clauses, entities):
+        prompts = [
+            f"Context: {c}\nSentence: {s}\nProperties:"
+            for c, s in zip(contexts, clauses)
+        ]
+        enc = tok(prompts, return_tensors="pt", padding=True, truncation=True)
+        with torch.no_grad():
+            out = model.generate(
+                **enc, max_length=400, do_sample=False, pad_token_id=tok.eos_token_id
+            )
+        decoded = [tok.decode(seq, skip_special_tokens=True) for seq in out]
+        return [d.rpartition("Properties:")[2].strip() for d in decoded]
+
+    return generate
+
+
+def make_properties_udf(model_loader=_stub_properties_loader):
+    """Iterator-form pandas UDF over (context, clause, entity): the
+    generative model factory runs once per TASK (load-once/score-many)."""
+
+    @pandas_udf(T.StringType())
+    def udf(batches: Iterator[tuple[pd.Series, pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        generate = model_loader()  # once per task, NOT per batch
+        for contexts, clauses, entities in batches:
+            yield pd.Series(generate(list(contexts), list(clauses), list(entities)))
+
+    return udf
+
+
+def generate_behaviours(clauses: DataFrame, mentions: DataFrame, model_loader=None) -> DataFrame:
     """clauses + mentions -> behaviours: each clause gains a ``subject``
     (the sentence's first mention surface — the reference's generative
     model infers the subject from context; the stub needs it explicit)
-    and the generated ``behaviours`` grammar string."""
+    and the generated ``behaviours`` grammar string. ``model_loader``
+    swaps in a real checkpoint factory (``_hf_properties_loader``); the
+    prompt context is the ``context`` column when the caller attached
+    one (M8 window), else the clause itself."""
     first_mention = (
         mentions.groupBy("url", "sent_id")
         .agg(F.min_by("surface", "begin").alias("subject"))
     )
     joined = clauses.join(first_mention, on=["url", "sent_id"], how="left")
-    return joined.withColumn(
-        "behaviours",
-        _properties_udf(F.col("clause"), F.coalesce(F.col("subject"), F.lit("unknown entity"))),
-    )
+    subject = F.coalesce(F.col("subject"), F.lit("unknown entity"))
+    if model_loader is None:
+        return joined.withColumn("behaviours", _properties_udf(F.col("clause"), subject))
+    ctx = F.col("context") if "context" in joined.columns else F.col("clause")
+    udf = make_properties_udf(model_loader)
+    return joined.withColumn("behaviours", udf(ctx, F.col("clause"), subject))

@@ -19,6 +19,8 @@ UDF (deterministic stub here; swap point documented in
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,16 +71,79 @@ def _coref_udf(context: pd.Series, pronoun: pd.Series, occurrence: pd.Series) ->
     return pd.Series(stub_models.answer_coref_batch(rows))
 
 
-def resolve_coreferences(sentences: DataFrame, pronouns: list[str] | None = None) -> DataFrame:
+def _stub_coref_loader():
+    """Default model factory: the deterministic span stub. Returns an
+    ``answer(rows) -> antecedent list`` callable over (context, pronoun,
+    occurrence) rows."""
+    return stub_models.answer_coref_batch
+
+
+def _hf_coref_loader():  # pragma: no cover - requires transformers+torch
+    """Real-model factory for the M8 swap point: loads the fine-tuned
+    ``BertForQuestionAnswering`` named by ``$SPARK_GRAFT_HF_QA_MODEL``
+    ONCE per task; the question template and span argmax decode follow
+    the reference (``src/corefernece_resolution.py:238-243, 302-305``)."""
+    import os
+
+    import torch
+    from transformers import AutoModelForQuestionAnswering, AutoTokenizer
+
+    name = os.environ["SPARK_GRAFT_HF_QA_MODEL"]
+    tok = AutoTokenizer.from_pretrained(name)
+    model = AutoModelForQuestionAnswering.from_pretrained(name)
+    model.eval()
+
+    def answer(rows):
+        questions = [
+            f"What does '{pronoun}' number {occurrence} refer to?"
+            for _, pronoun, occurrence in rows
+        ]
+        contexts = [context for context, _, _ in rows]
+        enc = tok(questions, contexts, return_tensors="pt", padding=True, truncation=True)
+        with torch.no_grad():
+            out = model(**enc)
+        starts = out.start_logits.argmax(-1).tolist()
+        ends = out.end_logits.argmax(-1).tolist()
+        answers = []
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            # no-span (end before start, or span inside the question /
+            # special tokens) -> empty answer, dropped downstream
+            span_ids = enc["input_ids"][i][s : e + 1] if e >= s else []
+            text = tok.decode(span_ids, skip_special_tokens=True).strip() if e >= s else ""
+            answers.append("" if "?" in text else text)
+        return answers
+
+    return answer
+
+
+def make_coref_udf(model_loader=_stub_coref_loader):
+    """Iterator-form pandas UDF: the QA model factory runs once per
+    TASK, then answers every Arrow batch (load-once/score-many, same
+    swap shape as :func:`..operators.mentions.make_mentions_udf`)."""
+
+    @pandas_udf(T.StringType())
+    def udf(batches: Iterator[tuple[pd.Series, pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        answer = model_loader()  # once per task, NOT per batch
+        for context, pronoun, occurrence in batches:
+            rows = list(zip(context, pronoun, (int(o) for o in occurrence)))
+            yield pd.Series(answer(rows))
+
+    return udf
+
+
+def resolve_coreferences(sentences: DataFrame, pronouns: list[str] | None = None,
+                         model_loader=None) -> DataFrame:
     """sentences -> coref(url, sent_id, pronoun, occurrence, antecedent).
 
     Window context (5 preceding sentences) + QA UDF; rows whose model
     answer is empty are dropped (reference treats no-span as no answer).
-    """
+    ``model_loader`` swaps in a real checkpoint factory
+    (``_hf_coref_loader``)."""
+    qa_udf = _coref_udf if model_loader is None else make_coref_udf(model_loader)
     found = find_pronouns(sentences, pronouns).drop("sentence")
     ctx = with_context(found, sentences)
     resolved = ctx.withColumn(
-        "antecedent", _coref_udf(F.col("context"), F.col("pronoun"), F.col("occurrence"))
+        "antecedent", qa_udf(F.col("context"), F.col("pronoun"), F.col("occurrence"))
     )
     return resolved.filter(F.col("antecedent") != "").select(
         "url", "sent_id", "pronoun", "occurrence", "antecedent"

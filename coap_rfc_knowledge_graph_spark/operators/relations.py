@@ -13,6 +13,8 @@ UDF stays in whole-stage codegen.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -30,10 +32,59 @@ def _relation_udf(marked: pd.Series) -> pd.Series:
     return pd.Series(stub_models.classify_relation_batch(list(marked)), dtype="int32")
 
 
-def classify_pairs(pairs: DataFrame) -> DataFrame:
-    """pairs -> pairs + pred (int) + pred_name."""
+def _stub_relation_loader():
+    """Default model factory: the deterministic rule classifier. Returns
+    a ``classify(marked_sentences) -> class_id list`` callable."""
+    return stub_models.classify_relation_batch
+
+
+def _hf_relation_loader():  # pragma: no cover - requires transformers+torch
+    """Real-model factory for the M6 swap point: loads the fine-tuned
+    ``BertForSequenceClassification`` named by
+    ``$SPARK_GRAFT_HF_RELATION_MODEL`` ONCE per task, then argmax over
+    the 8 relation logits per marked sentence — the reference's batch
+    scoring loop (``src/relation_extractor.py:152-178``,
+    ``src/MQTT_relation.py:114-146``)."""
+    import os
+
+    import torch
+    from transformers import AutoModelForSequenceClassification, AutoTokenizer
+
+    name = os.environ["SPARK_GRAFT_HF_RELATION_MODEL"]
+    tok = AutoTokenizer.from_pretrained(name)
+    model = AutoModelForSequenceClassification.from_pretrained(name)
+    model.eval()
+
+    def classify(marked_sentences):
+        enc = tok(list(marked_sentences), return_tensors="pt", padding=True, truncation=True)
+        with torch.no_grad():
+            return model(**enc).logits.argmax(-1).tolist()
+
+    return classify
+
+
+def make_relation_udf(model_loader=_stub_relation_loader):
+    """Iterator-form pandas UDF: the model factory runs once per TASK,
+    then scores every Arrow batch (load-once/score-many — the same swap
+    shape as :func:`..operators.mentions.make_mentions_udf`).
+    ``model_loader`` must be a top-level (pickle-able) zero-arg callable
+    returning ``classify(marked_sentences) -> class ids``."""
+
+    @pandas_udf(T.IntegerType())
+    def udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        classify = model_loader()  # once per task, NOT per batch
+        for marked in batches:
+            yield pd.Series(classify(list(marked)), dtype="int32")
+
+    return udf
+
+
+def classify_pairs(pairs: DataFrame, model_loader=None) -> DataFrame:
+    """pairs -> pairs + pred (int) + pred_name. ``model_loader`` swaps
+    in a real checkpoint factory (``_hf_relation_loader``)."""
+    rel_udf = _relation_udf if model_loader is None else make_relation_udf(model_loader)
     names = F.array(*[F.lit(n) for n in _NAMES])
-    return pairs.withColumn("pred", _relation_udf(F.col("marked_sentence"))).withColumn(
+    return pairs.withColumn("pred", rel_udf(F.col("marked_sentence"))).withColumn(
         "pred_name", F.element_at(names, F.col("pred") + 1)
     )
 

@@ -151,11 +151,40 @@ _CONTRADICTION_PROBES = [
         "The session timer MUST be set to gamma. "
         "When the session timer is set to delta, the endpoint MAY retry.",
     ),
+    # Q5 second shape: OR-connective consequents (negated pair) — the
+    # "or" in the antecedent makes both consequent rules connective=OR,
+    # exercising the solver's disjunct branching beyond the single
+    # AND-pair case (VERDICT r2 item 8)
+    (
+        "q5-or-consequents",
+        "When the frame check runs or repeats, the frame size MUST be "
+        "set to four; also the frame size MUST NOT be set to four.",
+    ),
+    # Q5 third shape: numeric-range consequent vs point value — the
+    # range branch emits TWO atoms (> lo, < hi), so the pairwise unsat
+    # crosses a multi-atom clause
+    (
+        "q5-range-consequents",
+        "When the payload scan completes, the payload length MUST be "
+        "between 3 and 5; also the payload length MUST be set to 9.",
+    ),
+    # Q6 second/third shapes: distinct entities so each contributes its
+    # own flagged-entity x antecedent pair
+    (
+        "q6-link-timeout",
+        "The link timeout MUST be set to five. "
+        "If the link timeout is set to seven, the client MAY reconnect.",
+    ),
+    (
+        "q6-connection-mode",
+        "The connection mode MUST be set to active. "
+        "When the connection mode is set to passive, the broker SHOULD pause.",
+    ),
 ]
 
 
 def contradiction_probe_pages(spark: SparkSession) -> DataFrame:
-    """Four deterministic probe pages, each crafted so the FULL pipeline
+    """Deterministic probe pages, each crafted so the FULL pipeline
     (sentences -> stub splitter -> N6 grammar -> solver) produces one
     known contradiction family (Q2/Q4/Q5/Q6) — they make the driver's
     findings entries non-vacuous on corpora that lack organic

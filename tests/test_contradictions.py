@@ -173,9 +173,12 @@ def test_q7_literal_overlap(rules_df):
 
 
 def test_contradiction_probes_drive_all_finding_kinds(spark):
-    """The four probe pages must produce >=1 finding in each Q2/Q4/Q5/Q6
-    family through the FULL pipeline (they back the driver-contract
-    kg_single_rule/kg_direct_type*/kg_conditional entries)."""
+    """The probe pages must produce findings in each Q2/Q4/Q5/Q6 family
+    through the FULL pipeline (they back the driver-contract
+    kg_single_rule/kg_direct_type*/kg_conditional entries). Q5 and Q6
+    each need >=3 rows — one per probe shape — so the solver paths are
+    exercised beyond a single case (OR connective, multi-atom range
+    clause; VERDICT r2 item 8), with the per-probe pairs pinned."""
     from coap_rfc_knowledge_graph_spark.operators.rule_filter import rule_sentences
     from coap_rfc_knowledge_graph_spark.plans.pipeline import (
         extract_stage,
@@ -192,8 +195,15 @@ def test_contradiction_probes_drive_all_finding_kinds(spark):
     assert counts["single_rule_contradictions"] >= 1, counts
     assert counts["direct_type_1"] >= 0  # Q3 comes from the corpus, not probes
     assert counts["direct_type_2"] >= 1, counts
-    assert counts["direct_type_3"] >= 1, counts
-    assert counts["conditional"] >= 1, counts
+    assert counts["direct_type_3"] >= 3, counts
+    assert counts["conditional"] >= 3, counts
+    # one Q5 pair per probe shape: AND point-pair (topic), OR negated
+    # pair (frame), range-vs-point (payload scan)
+    q5_ents = {r["rule_a"].rsplit(" rule", 1)[0] for r in res.findings["direct_type_3"].collect()}
+    assert {"topic", "frame", "payload scan"} <= q5_ents, q5_ents
+    # one Q6 pair per probe entity
+    q6_ents = {r["canonical"] for r in res.findings["conditional"].collect()}
+    assert {"session", "link", "connection"} <= q6_ents, q6_ents
 
 
 def test_pipeline_end_to_end(spark):

@@ -60,6 +60,111 @@ def test_iterator_udf_parity_and_load_once(spark):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
+def test_relation_swap_parity_and_load_once(spark):
+    """M6 swap point: classify_pairs with a counting factory must equal
+    the default stub path, and the factory must run per TASK, not per
+    Arrow batch (same contract as the mention tagger swap)."""
+    from coap_rfc_knowledge_graph_spark.operators.relations import classify_pairs
+
+    mark_dir = os.path.join(tempfile.gettempdir(), f"kg_rel_marks_{uuid.uuid4().hex}")
+
+    def counting_loader():
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(mark_dir, exist_ok=True)
+        with open(_os.path.join(mark_dir, _uuid.uuid4().hex), "w") as fh:
+            fh.write("x")
+        from coap_rfc_knowledge_graph_spark.functions import stub_models
+
+        return stub_models.classify_relation_batch
+
+    rows = [
+        ("u%d" % (i % 4), i, "server", "Reset message",
+         "The [E1]server[/E1] MUST send a [E2]Reset message[/E2] now %d." % i)
+        for i in range(64)
+    ]
+    pairs = spark.createDataFrame(
+        rows, "url string, sent_id long, e1 string, e2 string, marked_sentence string"
+    ).coalesce(2)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        key = lambda r: (r.url, r.sent_id)
+        base = sorted(classify_pairs(pairs).collect(), key=key)
+        swapped = sorted(classify_pairs(pairs, model_loader=counting_loader).collect(), key=key)
+        assert base == swapped and len(base) == 64
+        n_loads = len(os.listdir(mark_dir))
+        assert 1 <= n_loads < 8, n_loads  # per task (2), not per batch (8)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_coref_swap_parity(spark):
+    """M8 swap point: resolve_coreferences with an explicit stub factory
+    must equal the default path."""
+    from coap_rfc_knowledge_graph_spark.operators.coref import resolve_coreferences
+
+    def stub_loader():
+        from coap_rfc_knowledge_graph_spark.functions import stub_models
+
+        return stub_models.answer_coref_batch
+
+    rows = [
+        ("u%d" % (i % 2), i, "The CoAP server sends a Reset message. It MUST be empty %d." % i)
+        for i in range(16)
+    ]
+    sdf = spark.createDataFrame(rows, "url string, sent_id long, sentence string")
+    key = lambda r: (r.url, r.sent_id, r.pronoun, r.occurrence)
+    base = sorted(resolve_coreferences(sdf).collect(), key=key)
+    swapped = sorted(resolve_coreferences(sdf, model_loader=stub_loader).collect(), key=key)
+    assert base == swapped and len(base) > 0
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("transformers") is None
+    or importlib.util.find_spec("torch") is None
+    or "SPARK_GRAFT_HF_RELATION_MODEL" not in os.environ,
+    reason="transformers/torch not installed or SPARK_GRAFT_HF_RELATION_MODEL unset",
+)
+def test_hf_relation_checkpoint_swap(spark):  # pragma: no cover - optional deps
+    from coap_rfc_knowledge_graph_spark.operators.relations import (
+        _hf_relation_loader,
+        classify_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [("u1", 0, "server", "Reset message",
+          "The [E1]server[/E1] MUST send a [E2]Reset message[/E2].")],
+        "url string, sent_id long, e1 string, e2 string, marked_sentence string",
+    )
+    out = classify_pairs(pairs, model_loader=_hf_relation_loader).collect()
+    assert len(out) == 1 and out[0]["pred"] is not None
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("transformers") is None
+    or importlib.util.find_spec("torch") is None
+    or "SPARK_GRAFT_HF_QA_MODEL" not in os.environ,
+    reason="transformers/torch not installed or SPARK_GRAFT_HF_QA_MODEL unset",
+)
+def test_hf_coref_checkpoint_swap(spark):  # pragma: no cover - optional deps
+    from coap_rfc_knowledge_graph_spark.operators.coref import (
+        _hf_coref_loader,
+        resolve_coreferences,
+    )
+
+    sdf = spark.createDataFrame(
+        [("u1", 0, "The CoAP server sends a Reset message. It MUST be empty.")],
+        "url string, sent_id long, sentence string",
+    )
+    out = resolve_coreferences(sdf, model_loader=_hf_coref_loader).collect()
+    assert out is not None  # schema-stable; span content depends on checkpoint
+
+
 def test_wordpiece_label_realignment():
     """The HF path's subword->word label mapping, unit-tested without
     transformers: logits arrive per WORDPIECE ([CLS] first, subword
@@ -95,3 +200,168 @@ def test_hf_checkpoint_swap(spark):  # pragma: no cover - optional deps
     )
     out = extract_mentions_with_model(sdf, _hf_loader).collect()
     assert out is not None  # schema-stable; span content depends on checkpoint
+
+
+def test_split_swap_parity(spark):
+    """M9 swap point: split_conditions with an explicit stub factory
+    must equal the default path."""
+    from coap_rfc_knowledge_graph_spark.operators.conditions import split_conditions
+
+    def stub_loader():
+        from coap_rfc_knowledge_graph_spark.functions import stub_models
+
+        return stub_models.split_condition_batch
+
+    rows = [
+        ("u%d" % (i % 2), i, i, i % 2 == 0,
+         "If the server restarts, the token MUST be set to %d." % i)
+        for i in range(16)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "url string, sent_id long, rule_num long, is_strong boolean, sentence string"
+    )
+    key = lambda r: (r.url, r.sent_id, r.clause_id)
+    base = sorted(split_conditions(sdf).collect(), key=key)
+    swapped = sorted(split_conditions(sdf, model_loader=stub_loader).collect(), key=key)
+    assert base == swapped and len(base) == 32  # antecedent + consequent each
+
+
+def test_properties_swap_parity(spark):
+    """M10 swap point: generate_behaviours with the adapting stub
+    factory must equal the default two-arg path (the stub ignores the
+    extra context argument the real model consumes)."""
+    from coap_rfc_knowledge_graph_spark.operators.conditions import (
+        _stub_properties_loader,
+        generate_behaviours,
+    )
+
+    clauses = spark.createDataFrame(
+        [("u1", i, "the token MUST be set to %d" % i) for i in range(8)],
+        "url string, sent_id long, clause string",
+    )
+    mentions = spark.createDataFrame(
+        [("u1", i, 0, "token") for i in range(8)],
+        "url string, sent_id long, begin int, surface string",
+    )
+    key = lambda r: (r.url, r.sent_id)
+    base = sorted(generate_behaviours(clauses, mentions).collect(), key=key)
+    swapped = sorted(
+        generate_behaviours(clauses, mentions, model_loader=_stub_properties_loader).collect(),
+        key=key,
+    )
+    assert [r.behaviours for r in base] == [r.behaviours for r in swapped] and len(base) == 8
+
+
+def test_variables_swap_parity_and_grammar(spark):
+    """M13: extract_variables default == explicit stub factory, and the
+    output parses in the N6 grammar (entity @ behaviour = bool;)."""
+    from coap_rfc_knowledge_graph_spark.operators.variables import extract_variables
+
+    def stub_loader():
+        from coap_rfc_knowledge_graph_spark.functions import stub_models
+
+        return stub_models.extract_variables_batch
+
+    rows = [
+        ("u1", 0, "The Token MUST be set to zero."),
+        ("u1", 1, "The CoAP server MUST NOT reject the message."),
+    ]
+    sdf = spark.createDataFrame(rows, "url string, sent_id long, sentence string")
+    key = lambda r: (r.url, r.sent_id)
+    base = sorted(extract_variables(sdf).collect(), key=key)
+    swapped = sorted(extract_variables(sdf, model_loader=stub_loader).collect(), key=key)
+    assert [r.behaviours for r in base] == [r.behaviours for r in swapped]
+    assert base[0].behaviours == "token @ be set to zero = True;"
+    assert base[1].behaviours == "coap @ reject the message = False;"
+
+
+def test_parse_split_generation_pure():
+    """M9 HF decode parse, unit-tested without transformers."""
+    from coap_rfc_knowledge_graph_spark.operators.conditions import _parse_split_generation
+
+    s = "If X, then Y MUST Z."
+    gen = "Sentence: If X, then Y MUST Z.\nAntecedent: If X;\nConsequent: Y MUST Z;"
+    assert _parse_split_generation(s, gen) == [
+        ("Antecedent rule", "If X"),
+        ("Consequent rule", "Y MUST Z"),
+    ]
+    assert _parse_split_generation(s, "Sentence: ...\nAntecedent: Not applicable") == [
+        ("Entity rule", s)
+    ]
+    assert _parse_split_generation(s, "garbage with no markers") == [("Entity rule", s)]
+
+
+def test_parse_variables_generation_pure():
+    """M13 HF decode parse, unit-tested without transformers."""
+    from coap_rfc_knowledge_graph_spark.operators.variables import _parse_variables_generation
+
+    d = "Sentence: The Token MUST be 0.\nBehaviours: token @ be 0 = True;"
+    assert _parse_variables_generation(d) == "token @ be 0 = True;"
+    assert _parse_variables_generation("no marker at all") == "no marker at all"
+
+
+_GPT2_SKIP = pytest.mark.skipif(
+    importlib.util.find_spec("transformers") is None
+    or importlib.util.find_spec("torch") is None,
+    reason="transformers/torch not installed",
+)
+
+
+@_GPT2_SKIP
+@pytest.mark.skipif(
+    "SPARK_GRAFT_HF_SPLIT_MODEL" not in os.environ,
+    reason="SPARK_GRAFT_HF_SPLIT_MODEL unset",
+)
+def test_hf_split_checkpoint_swap(spark):  # pragma: no cover - optional deps
+    from coap_rfc_knowledge_graph_spark.operators.conditions import (
+        _hf_split_loader,
+        split_conditions,
+    )
+
+    sdf = spark.createDataFrame(
+        [("u1", 0, 0, True, "If the server restarts, the token MUST be reset.")],
+        "url string, sent_id long, rule_num long, is_strong boolean, sentence string",
+    )
+    out = split_conditions(sdf, model_loader=_hf_split_loader).collect()
+    assert len(out) >= 1 and all(r.condition.endswith("rule") for r in out)
+
+
+@_GPT2_SKIP
+@pytest.mark.skipif(
+    "SPARK_GRAFT_HF_PROPERTIES_MODEL" not in os.environ,
+    reason="SPARK_GRAFT_HF_PROPERTIES_MODEL unset",
+)
+def test_hf_properties_checkpoint_swap(spark):  # pragma: no cover - optional deps
+    from coap_rfc_knowledge_graph_spark.operators.conditions import (
+        _hf_properties_loader,
+        generate_behaviours,
+    )
+
+    clauses = spark.createDataFrame(
+        [("u1", 0, "the token MUST be set to zero")],
+        "url string, sent_id long, clause string",
+    )
+    mentions = spark.createDataFrame(
+        [("u1", 0, 0, "token")], "url string, sent_id long, begin int, surface string"
+    )
+    out = generate_behaviours(clauses, mentions, model_loader=_hf_properties_loader).collect()
+    assert len(out) == 1 and out[0].behaviours is not None
+
+
+@_GPT2_SKIP
+@pytest.mark.skipif(
+    "SPARK_GRAFT_HF_VARIABLE_MODEL" not in os.environ,
+    reason="SPARK_GRAFT_HF_VARIABLE_MODEL unset",
+)
+def test_hf_variables_checkpoint_swap(spark):  # pragma: no cover - optional deps
+    from coap_rfc_knowledge_graph_spark.operators.variables import (
+        _hf_variables_loader,
+        extract_variables,
+    )
+
+    sdf = spark.createDataFrame(
+        [("u1", 0, "The Token MUST be set to zero.")],
+        "url string, sent_id long, sentence string",
+    )
+    out = extract_variables(sdf, model_loader=_hf_variables_loader).collect()
+    assert len(out) == 1 and out[0].behaviours is not None
