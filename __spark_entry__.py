@@ -551,6 +551,18 @@ def q_kg_entities_native(spark, sf_dir):
     return native_entities(docs)
 
 
+def q_variables_native(spark, sf_dir):
+    """Value-verifiable native analog of M13 (VERDICT r2 pattern): rule
+    sentences -> first-mention entity -> grammar string, all Catalyst;
+    DuckDB reproduces every value. The model-UDF path (`kg_variables`)
+    stays rows-only; THIS entry is the value-level check on variable
+    content."""
+    from coap_rfc_knowledge_graph_spark.operators.triples_native import native_variables
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return native_variables(docs)
+
+
 def q_minhash_native(spark, sf_dir):
     """Engine-exact MinHash signatures (md5-prefix shingle hashes, pure
     Catalyst) — the value-verifiable variant of the minhash family."""
@@ -586,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_native": q_minhash_native,
         "kg_triples_native": q_kg_triples_native,
         "kg_entities_native": q_kg_entities_native,
+        "variables_native": q_variables_native,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "nsp_pairs": q_nsp_pairs,
@@ -951,6 +964,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(row_number() OVER (ORDER BY canonical) - 1 AS BIGINT) AS entity_id,
                canonical
         FROM (SELECT DISTINCT lower(surface) AS canonical FROM spans)
+        """,
+        "variables_native": native_ctes + r""",
+        rules AS (
+          SELECT doc_id, sent_id, sentence FROM sents
+          WHERE regexp_matches(sentence,
+                '(?i)\b(must|shall|should|required|recommended|may|optional|stream|window)\b')
+        ),
+        fent AS (
+          SELECT doc_id, sent_id, arg_min(surface, b) AS entity_surface
+          FROM spans GROUP BY doc_id, sent_id
+        ),
+        vj AS (
+          SELECT r.doc_id, r.sent_id, r.sentence,
+                 lower(coalesce(f.entity_surface, 'unknown entity')) AS entity,
+                 lower(r.sentence) AS low,
+                 regexp_extract(r.sentence, '(?i)\bbetween (\d+) and (\d+)\b', 1) AS bet_lo,
+                 regexp_extract(r.sentence, '(?i)\bbetween (\d+) and (\d+)\b', 2) AS bet_hi,
+                 trim(regexp_extract(r.sentence, '(?i)\bset to ([\w." ]{1,24}?)(?:[,.;]|$)', 1)) AS set_to,
+                 regexp_extract_all(r.sentence, '\b(\d+)\b', 1) AS digits,
+                 regexp_extract_all(lower(r.sentence), '([a-z]+)', 1) AS words
+          FROM rules r LEFT JOIN fent f USING (doc_id, sent_id)
+        )
+        SELECT doc_id, sent_id,
+               entity || ' @ ' ||
+               CASE
+                 WHEN bet_lo <> '' THEN 'be between ' || bet_lo || ' and ' || bet_hi
+                 WHEN set_to <> '' THEN 'be set to ' || set_to
+                 WHEN low LIKE '%ignored%' THEN 'be ignored'
+                 WHEN low LIKE '%ignore%' THEN 'ignore the option'
+                 WHEN low LIKE '%message format error%' THEN 'be processed as a message format error'
+                 WHEN low LIKE '%reject%' AND low LIKE '%message%' THEN 'reject the message'
+                 WHEN low LIKE '%rejected%' THEN 'be rejected'
+                 WHEN low LIKE '%idempotent%' THEN 'be idempotent'
+                 WHEN low LIKE '%empty%' THEN 'be Empty'
+                 WHEN low LIKE '%default value%' THEN 'use the default value'
+                 WHEN low LIKE '%response code%' THEN 'return a Response Code ' ||
+                      CASE WHEN len(digits) = 0 THEN '4.04'
+                           ELSE array_to_string(digits[1:2], '.') END
+                 ELSE 'value be ' || coalesce(words[-1], 'unspecified')
+               END ||
+               ' = ' ||
+               CASE WHEN regexp_matches(sentence,
+                         '\b(MUST NOT|SHALL NOT|SHOULD NOT|MAY NOT|NOT RECOMMENDED)\b')
+                    THEN 'False' ELSE 'True' END || ';' AS variables
+        FROM vj
         """,
         "simhash_native": """
             WITH toks AS (

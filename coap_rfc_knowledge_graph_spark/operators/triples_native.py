@@ -161,3 +161,71 @@ def native_entities(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return surfaces.select(
         (F.row_number().over(w) - 1).cast("long").alias("entity_id"), "canonical"
     )
+
+
+def native_variables(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sent_id, variables): the value-verifiable native analog
+    of the M13 sentence-only variable extractor — rule sentences (RFC
+    2119 modal match, the reference's uppercase-substring filter,
+    ``variable_extractor_generate_GPT-2.py:43-50``) mapped to the
+    ``entity @ behaviour = True|False;`` grammar with the stub head's
+    branch chain re-expressed as pure Catalyst (every branch computable
+    verbatim in DuckDB). Entity = the sentence's first native mention
+    span; behaviour = the keyword-branch chain of
+    ``stub_models.generate_properties``; sentiment = negated-modal scan.
+
+    Scale shape: one (doc_id, sent_id) equi-join between the rule
+    filter and the mention spans (both already partitioned by that key
+    in native_mentions), then a projection — no extra shuffle, zero
+    Python."""
+    sents = native_sentences(docs, id_col, text_col)
+    # case-insensitive + the stream/window extensions, matching the
+    # modal_filter contract entry: the synthetic web-text corpus is
+    # lowercase, so the reference's uppercase-substring filter would be
+    # vacuous on it (documented divergence — the RFC-corpus path keeps
+    # the uppercase semantics via operators/rule_filter.py)
+    modal_re = r"(?i)\b(must|shall|should|required|recommended|may|optional|stream|window)\b"
+    rules = sents.filter(F.col("sentence").rlike(modal_re))
+    first_ent = (
+        native_mentions(docs, id_col, text_col)
+        .groupBy("doc_id", "sent_id")
+        .agg(F.min_by("surface", "begin").alias("entity_surface"))
+    )
+    joined = rules.join(first_ent, on=["doc_id", "sent_id"], how="left")
+
+    s = F.col("sentence")
+    low = F.lower(s)
+    entity = F.lower(F.coalesce(F.col("entity_surface"), F.lit("unknown entity")))
+    sentiment = F.when(
+        s.rlike(r"\b(MUST NOT|SHALL NOT|SHOULD NOT|MAY NOT|NOT RECOMMENDED)\b"),
+        F.lit("False"),
+    ).otherwise(F.lit("True"))
+    bet_lo = F.regexp_extract(s, r"(?i)\bbetween (\d+) and (\d+)\b", 1)
+    bet_hi = F.regexp_extract(s, r"(?i)\bbetween (\d+) and (\d+)\b", 2)
+    set_to = F.trim(F.regexp_extract(s, r'(?i)\bset to ([\w." ]{1,24}?)(?:[,.;]|$)', 1))
+    digits = F.expr(r"regexp_extract_all(sentence, '\\b(\\d+)\\b', 1)")
+    code = F.when(F.size(digits) == 0, F.lit("4.04")).otherwise(
+        F.array_join(F.slice(digits, 1, 2), ".")
+    )
+    last_word = F.element_at(F.expr("regexp_extract_all(lower(sentence), '([a-z]+)', 1)"), -1)
+    behaviour = (
+        F.when(bet_lo != "", F.concat(F.lit("be between "), bet_lo, F.lit(" and "), bet_hi))
+        .when(set_to != "", F.concat(F.lit("be set to "), set_to))
+        .when(low.contains("ignored"), F.lit("be ignored"))
+        .when(low.contains("ignore"), F.lit("ignore the option"))
+        .when(low.contains("message format error"), F.lit("be processed as a message format error"))
+        .when(low.contains("reject") & low.contains("message"), F.lit("reject the message"))
+        .when(low.contains("rejected"), F.lit("be rejected"))
+        .when(low.contains("idempotent"), F.lit("be idempotent"))
+        .when(low.contains("empty"), F.lit("be Empty"))
+        .when(low.contains("default value"), F.lit("use the default value"))
+        .when(low.contains("response code"), F.concat(F.lit("return a Response Code "), code))
+        .otherwise(F.concat(F.lit("value be "), F.coalesce(last_word, F.lit("unspecified"))))
+    )
+    return joined.select(
+        "doc_id",
+        "sent_id",
+        F.concat(entity, F.lit(" @ "), behaviour, F.lit(" = "), sentiment, F.lit(";")).alias(
+            "variables"
+        ),
+    )

@@ -39,8 +39,11 @@ def _table_hash(df) -> tuple[int, str]:
     return len(rows), hashlib.sha256("\n".join(rows).encode()).hexdigest()
 
 
-@pytest.mark.parametrize("name", ["kg_triples_native", "kg_entities_native"])
-def test_native_family_matches_duckdb(spark, name):
+@pytest.mark.parametrize(
+    "name,min_rows",
+    [("kg_triples_native", 1000), ("kg_entities_native", 1000), ("variables_native", 50)],
+)
+def test_native_family_matches_duckdb(spark, name, min_rows):
     import __spark_entry__ as entry
 
     sp = entry.queries()[name](spark, SF).toPandas()
@@ -51,7 +54,7 @@ def test_native_family_matches_duckdb(spark, name):
     assert sorted(ora.columns) == cols
     a = sp[cols].sort_values(cols).reset_index(drop=True).astype(str)
     b = ora[cols].sort_values(cols).reset_index(drop=True).astype(str)
-    assert len(a) == len(b) and len(a) > 1000
+    assert len(a) == len(b) and len(a) > min_rows
     assert a.equals(b)
 
 
