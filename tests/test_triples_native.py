@@ -31,6 +31,15 @@ SF = "/root/testdata/sf0.001"
 FLAGSHIP_HASHES = {
     "kg_triples": (19174, "6164aa38d7a9b7daa3294e712f1b30c1ea332d17694ea084818bc10290189c90"),
     "kg_entities": (2858, "038b685c7fcd2e43ee07e4295ccf62da1af40a10b6b9f013e5e5f90768d1d8b2"),
+    # round 3: the remaining rows-only kg family members, value-pinned —
+    # a content regression anywhere in the sentence/coref/variables/
+    # solver chains now fails here even though DuckDB can't reproduce
+    # their model UDFs (kg_contradictions count includes the Q5/Q6
+    # probe-page findings added this round)
+    "kg_sentences": (500, "7a4fd9b287ca8538dd38ff774e7b450296593a76f0cad1d10da947001837b30e"),
+    "kg_coref": (369, "feedf257cefd39e28bf10656407ea39ef89909a54482c16931459503989c4c2a"),
+    "kg_variables": (431, "2faf3388954316056f777750c0536b78d45165ebf2a01beaf0bf5415b1fbb4e3"),
+    "kg_contradictions": (47, "ff70c032eecf3d7ce7f843085b027898f5f4f923f7788a27ace35ab0cc9dd0c6"),
 }
 
 
@@ -58,7 +67,7 @@ def test_native_family_matches_duckdb(spark, name, min_rows):
     assert a.equals(b)
 
 
-@pytest.mark.parametrize("name", ["kg_triples", "kg_entities"])
+@pytest.mark.parametrize("name", sorted(FLAGSHIP_HASHES))
 def test_flagship_content_hash_pinned(spark, name):
     import __spark_entry__ as entry
 
