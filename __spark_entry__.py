@@ -563,6 +563,16 @@ def q_variables_native(spark, sf_dir):
     return native_variables(docs)
 
 
+def q_coref_native(spark, sf_dir):
+    """Value-verifiable native analog of the M8 coref chain (context
+    window + per-occurrence fan-out + prefix scan + last-candidate
+    select) with a deterministic antecedent rule DuckDB reproduces; the
+    QA-model path (`kg_coref`) stays rows-only + hash-pinned."""
+    from coap_rfc_knowledge_graph_spark.operators.coref import native_coref
+
+    return native_coref(_t(spark, sf_dir, "documents"))
+
+
 def q_minhash_native(spark, sf_dir):
     """Engine-exact MinHash signatures (md5-prefix shingle hashes, pure
     Catalyst) — the value-verifiable variant of the minhash family."""
@@ -599,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_native": q_kg_triples_native,
         "kg_entities_native": q_kg_entities_native,
         "variables_native": q_variables_native,
+        "coref_native": q_coref_native,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "nsp_pairs": q_nsp_pairs,
@@ -706,6 +717,43 @@ def _native_triples_ctes() -> str:
                  string_agg(token, ' ' ORDER BY tpos) AS surface
           FROM ent GROUP BY doc_id, sent_id, sentence, island
         )"""
+
+
+def _coref_native_sql() -> str:
+    """DuckDB re-expression of ``operators.coref.native_coref`` (anaphor
+    "the value", k=5): windowed context agg -> occurrence fan-out ->
+    split/slice/re-join prefix -> filtered last content word."""
+    from coap_rfc_knowledge_graph_spark.operators.coref import _NATIVE_STOP
+
+    stop = "[" + ", ".join(f"'{s}'" for s in _NATIVE_STOP) + "]"
+    return rf"""
+        WITH ctx AS (
+          SELECT doc_id, source,
+                 string_agg(text, ' ') OVER (PARTITION BY source ORDER BY doc_id
+                                             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS context
+          FROM documents
+        ),
+        fan AS (
+          SELECT doc_id, source, context, CAST(u AS INT) AS occurrence
+          FROM ctx, LATERAL (
+            SELECT unnest(range(1, len(regexp_extract_all(context, '(\bthe value\b)', 1)) + 1)) AS u
+          ) t
+        ),
+        pre AS (
+          SELECT doc_id, source, occurrence,
+                 array_to_string(regexp_split_to_array(context, '\bthe value\b')[1:occurrence],
+                                 'the value') AS prefix
+          FROM fan
+        ),
+        c AS (
+          SELECT doc_id, source, occurrence,
+                 list_filter(regexp_extract_all(prefix, '([a-z]{{4,}})', 1),
+                             t -> NOT list_contains({stop}, t)) AS cands
+          FROM pre
+        )
+        SELECT doc_id, source, occurrence, cands[-1] AS antecedent
+        FROM c WHERE len(cands) > 0
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1010,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'False' ELSE 'True' END || ';' AS variables
         FROM vj
         """,
+        "coref_native": _coref_native_sql(),
         "simhash_native": """
             WITH toks AS (
               SELECT doc_id,

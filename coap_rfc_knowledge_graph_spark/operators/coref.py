@@ -22,7 +22,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -147,4 +147,68 @@ def resolve_coreferences(sentences: DataFrame, pronouns: list[str] | None = None
     )
     return resolved.filter(F.col("antecedent") != "").select(
         "url", "sent_id", "pronoun", "occurrence", "antecedent"
+    )
+
+
+# --- native M8 analog (value-verifiable; see __spark_entry__.oracle_sql) ------
+
+_NATIVE_STOP = [
+    "must", "shall", "should", "required", "recommended", "optional",
+    "that", "this", "with", "from", "when", "then", "them", "they", "there",
+]
+
+
+def native_coref(docs: DataFrame, pronoun: str = "the value", k: int = 5) -> DataFrame:
+    """(doc_id, source, occurrence, antecedent): the value-verifiable
+    native analog of the M8 coref chain over the synthetic ``documents``
+    table — same Spark plumbing as the real path (per-source k-preceding
+    context window, per-occurrence fan-out, prefix-of-occurrence scan,
+    last-candidate select), with the QA span model replaced by a
+    deterministic last-content-word rule so DuckDB reproduces every
+    value. (The real path's capitalized-run stub is vacuous on the
+    lowercase synthetic corpus — ``q_kg_coref`` runs it over the RFC
+    corpus instead; its content is pinned by table hash in
+    tests/test_triples_native.py.) The default anaphor is the reference
+    pronoun list's noun-phrase entry "the value"
+    (``src/corefernece_resolution.py:108``) — the single-word pronouns
+    never occur in the synthetic vocabulary.
+
+    Antecedent rule: the last word of >=4 letters before the pronoun's
+    n-th occurrence (within the windowed context) that is not a modal or
+    function word. Rows with no candidate are dropped, mirroring the
+    reference's no-span drop (``src/corefernece_resolution.py:302-305``).
+
+    Scale shape: one source-partitioned window + narrow projections —
+    the occurrence fan-out is sequence+explode, the prefix is a split
+    -> slice -> re-join (no Python anywhere).
+    """
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(-k, 0)
+    ctx = docs.select(
+        "doc_id", "source", F.concat_ws(" ", F.collect_list("text").over(w)).alias("context")
+    )
+    pat = r"\b" + pronoun + r"\b"
+    cnt = F.size(F.regexp_extract_all(F.col("context"), F.lit("(" + pat + ")"), 1))
+    occ = F.when(cnt > 0, F.sequence(F.lit(1), cnt)).otherwise(F.array().cast("array<int>"))
+    fan = ctx.select("doc_id", "source", "context", F.explode(occ).alias("occurrence"))
+    # text strictly before the n-th occurrence: split drops the
+    # delimiters, so re-joining the first n pieces with the pronoun
+    # reconstructs the prefix exactly (the n-th piece ends where the
+    # n-th occurrence begins)
+    parts = F.split(F.col("context"), pat)
+    prefix = F.array_join(F.slice(parts, 1, F.col("occurrence")), pronoun)
+    stop = F.array(*[F.lit(s) for s in _NATIVE_STOP])
+    cands = F.filter(
+        F.expr("regexp_extract_all(__prefix, '([a-z]{4,})', 1)"),
+        lambda t: ~F.array_contains(stop, t),
+    )
+    return (
+        fan.withColumn("__prefix", prefix)
+        .withColumn("__c", cands)
+        .filter(F.size("__c") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "occurrence",
+            F.element_at("__c", -1).alias("antecedent"),
+        )
     )

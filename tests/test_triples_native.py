@@ -50,7 +50,12 @@ def _table_hash(df) -> tuple[int, str]:
 
 @pytest.mark.parametrize(
     "name,min_rows",
-    [("kg_triples_native", 1000), ("kg_entities_native", 1000), ("variables_native", 50)],
+    [
+        ("kg_triples_native", 1000),
+        ("kg_entities_native", 1000),
+        ("variables_native", 50),
+        ("coref_native", 50),
+    ],
 )
 def test_native_family_matches_duckdb(spark, name, min_rows):
     import __spark_entry__ as entry
