@@ -563,6 +563,15 @@ def q_variables_native(spark, sf_dir):
     return native_variables(docs)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition filters: top-word share +
+    duplicate 2/3-gram shares + combined flag — pure array expressions,
+    zero shuffle, DuckDB-reproducible."""
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents"))
+
+
 def q_coref_native(spark, sf_dir):
     """Value-verifiable native analog of the M8 coref chain (context
     window + per-occurrence fan-out + prefix scan + last-candidate
@@ -610,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities_native": q_kg_entities_native,
         "variables_native": q_variables_native,
         "coref_native": q_coref_native,
+        "repetition_stats": q_repetition_stats,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "nsp_pairs": q_nsp_pairs,
@@ -1057,6 +1067,46 @@ def oracle_sql() -> dict[str, str]:
                          '\b(MUST NOT|SHALL NOT|SHOULD NOT|MAY NOT|NOT RECOMMENDED)\b')
                     THEN 'False' ELSE 'True' END || ';' AS variables
         FROM vj
+        """,
+        "repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, ts, len(ts) AS n,
+                     CASE WHEN len(ts) > 0 THEN
+                       list_max(list_transform(list_distinct(ts),
+                                               d -> len(list_filter(ts, x -> x = d))))
+                     ELSE 0 END AS topc
+              FROM toks
+            ),
+            grams AS (
+              SELECT doc_id, n, topc,
+                     CASE WHEN n >= 2 THEN
+                       list_transform(range(1, CAST(n AS INT)), i -> ts[i] || ' ' || ts[i+1])
+                     ELSE [] END AS g2,
+                     CASE WHEN n >= 3 THEN
+                       list_transform(range(1, CAST(n AS INT) - 1),
+                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                     ELSE [] END AS g3
+              FROM base
+            ),
+            fr AS (
+              SELECT doc_id, CAST(n AS INT) AS n_tokens,
+                     CASE WHEN n > 0 THEN topc / CAST(n AS DOUBLE) ELSE 0.0 END AS top_word_frac,
+                     CASE WHEN len(g2) > 0
+                          THEN 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+                          ELSE 0.0 END AS dup_2gram_frac,
+                     CASE WHEN len(g3) > 0
+                          THEN 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
+                          ELSE 0.0 END AS dup_3gram_frac
+              FROM grams
+            )
+            SELECT *, CAST(top_word_frac > 0.2 OR dup_3gram_frac > 0.3 AS INT) AS rep_flagged
+            FROM fr
         """,
         "coref_native": _coref_native_sql(),
         "simhash_native": """

@@ -339,3 +339,30 @@ def test_minhash_native_engine_exact(spark):
         assert got[(0, seed)] == replica(rows[0][1], seed)
         assert got[(0, seed)] == got[(1, seed)]  # lowercase dup: same sig
     assert not any(d == 2 for d, _ in got)  # sub-shingle-width doc: absent
+
+
+def test_repetition_features_semantics_and_plan(spark):
+    """Gopher-style repetition filters: crafted docs with known top-word
+    and duplicate-n-gram shares, plus the zero-shuffle/zero-Python plan
+    property (every signal is a per-row array expression)."""
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import repetition_features
+
+    rows = [
+        (0, "a a a a b"),              # top word 4/5; bigrams: aa aa aa ab -> dup 2/4
+        (1, "x y z w v u"),            # no repetition at all
+        (2, "p q p q p q p q"),        # alternating: bigrams 7, distinct 2 -> dup 5/7
+        (3, ""),                       # empty -> all zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert got[0].n_tokens == 5 and abs(got[0].top_word_frac - 0.8) < 1e-9
+    assert abs(got[0].dup_2gram_frac - 0.5) < 1e-9
+    assert got[0].rep_flagged == 1
+    assert got[1].rep_flagged == 0 and got[1].dup_2gram_frac == 0.0
+    assert abs(got[2].dup_2gram_frac - 5 / 7) < 1e-9
+    assert abs(got[2].dup_3gram_frac - 4 / 6) < 1e-9
+    assert got[2].rep_flagged == 1  # top word 'p' 4/8 = 0.5 > 0.2
+    assert got[3].n_tokens == 0 and got[3].top_word_frac == 0.0
+
+    plan = repetition_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "ArrowEvalPython" not in plan, plan
