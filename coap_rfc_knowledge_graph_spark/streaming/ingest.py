@@ -151,3 +151,86 @@ def stream_dedup_first_seen(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_near_dup_candidates(
+    pages_stream: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    seed: int = 13,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Custom stateful operator: cross-micro-batch NEAR-dup candidate
+    detection — the streaming face of ``operators.dedup.
+    minhash_lsh_pairs`` (same signatures, same banding).
+
+    Each MinHash band bucket is a state group: the first document to
+    arrive in a bucket (by id, for within-batch determinism) claims it;
+    every later document landing in the same bucket — in this or ANY
+    later micro-batch — emits a candidate row ``(doc_id, first_id,
+    band)``. Downstream consumers verify candidates exactly (the batch
+    est_jaccard re-rank), exactly as in the batch path.
+
+    Scale: state is one id string per DISTINCT (band, band-signature)
+    bucket ever seen — the same keys the batch path shuffles on (uniform
+    by construction); no all-pairs anything.
+    """
+    import pandas as pd
+
+    from ..operators.dedup import minhash_signatures
+
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        pages_stream, num_hashes=num_hashes, k=k, seed=seed, id_col=id_col, text_col=text_col
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "band_sig"),
+    ).withColumn(
+        "band_key",
+        F.concat_ws(
+            "-",
+            F.col("band"),
+            F.concat_ws(",", F.transform("band_sig", lambda x: x.cast("string"))),
+        ),
+    ).select("band_key", "band", F.col("doc_id").cast("string").alias("doc_id"))
+
+    def claim_or_pair(key, pdfs, state):
+        ids: list = []
+        band = None
+        for pdf in pdfs:
+            if len(pdf):
+                ids.extend(pdf["doc_id"].tolist())
+                band = int(pdf["band"].iloc[0])
+        if not ids:
+            return
+        ids.sort()
+        if state.exists:
+            (first_id,) = state.get
+        else:
+            first_id = ids.pop(0)
+            state.update((first_id,))
+        ids = [i for i in ids if i != first_id]  # re-crawl of the claimer
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "first_id": [first_id] * len(ids),
+                    "band": [band] * len(ids),
+                }
+            )
+
+    return banded.groupBy("band_key").applyInPandasWithState(
+        claim_or_pair,
+        outputStructType="doc_id string, first_id string, band int",
+        stateStructType="first_id string",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -139,3 +139,56 @@ def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
     by_url = sorted(r.url for r in got)
     # alpha -> first-seen u1 (u3/u4 dropped), beta -> u2, gamma -> u5
     assert by_url == ["u1", "u2", "u5"], by_url
+
+
+def test_stream_near_dup_candidates_across_batches(spark, tmp_path):
+    """Stateful MinHash-band near-dup detection: a band bucket claimed in
+    micro-batch 1 must flag a colliding document arriving in a LATER
+    micro-batch (and within-batch collisions pair immediately); disjoint
+    content flags nothing."""
+    from coap_rfc_knowledge_graph_spark.streaming.ingest import (
+        stream_near_dup_candidates,
+        stream_pages,
+    )
+
+    flat_dir = str(tmp_path / "in")
+    os.makedirs(flat_dir)
+    ts = datetime.datetime(2026, 1, 1)
+    text_a = "the quick brown fox jumps over the lazy dog again and again " * 4
+    text_b = "completely different content about spark structured streaming state " * 4
+    batch1 = [("u1", None, text_a, "en", ts), ("u1b", None, text_a, "en", ts),
+              ("u2", None, text_b, "en", ts)]
+    batch2 = [("u3", None, text_a, "en", ts)]  # cross-batch near-dup of u1
+    cols = "url string, html binary, text string, lang string, warc_ts timestamp"
+    spark.createDataFrame(batch1, cols).coalesce(1).write.parquet(str(tmp_path / "b1"))
+    spark.createDataFrame(batch2, cols).coalesce(1).write.parquet(str(tmp_path / "b2"))
+    n = 0
+    for sub in ("b1", "b2"):
+        for f in os.listdir(str(tmp_path / sub)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat_dir, f"part{n}.parquet")
+                os.rename(str(tmp_path / sub / f), dst)
+                os.utime(dst, (1000000000 + n * 1000, 1000000000 + n * 1000))
+                n += 1
+    assert n == 2
+
+    cands = stream_near_dup_candidates(stream_pages(spark, flat_dir, max_files_per_trigger=1))
+    out_dir = str(tmp_path / "out")
+    q = (
+        cands.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).collect()
+    pairs = {(r.doc_id, r.first_id) for r in got}
+    # identical text -> identical signature -> every band collides:
+    # u1 (min id in batch 1) claims all buckets; u1b pairs in-batch,
+    # u3 pairs across batches; u2 never appears
+    assert pairs == {("u1b", "u1"), ("u3", "u1")}, pairs
+    assert all(r.first_id == "u1" for r in got)
+    assert {r.doc_id for r in got if r.doc_id == "u2"} == set()

@@ -40,6 +40,11 @@ FLAGSHIP_HASHES = {
     "kg_coref": (369, "feedf257cefd39e28bf10656407ea39ef89909a54482c16931459503989c4c2a"),
     "kg_variables": (431, "2faf3388954316056f777750c0536b78d45165ebf2a01beaf0bf5415b1fbb4e3"),
     "kg_contradictions": (47, "ff70c032eecf3d7ce7f843085b027898f5f4f923f7788a27ace35ab0cc9dd0c6"),
+    "kg_single_rule": (1, "0a49d010831eeebe03eac80389d6d7515bf4a4bce076f239db22be9568c0414f"),
+    "kg_direct_type1": (591, "cb4de13850c44e8668ba290841b0d3474dc223771647a9ae940d19ee1261bbbe"),
+    "kg_direct_type2": (4, "c508c7650d4ff9726a3a107f36e0ffc0ab7788f39e1e566bb8fa3d08f3f54f7a"),
+    "kg_direct_type3": (3, "9a4127c35c2d91bb72cc61003a90f3fb328044f0067e8e1d342a57966a886cf3"),
+    "kg_conditional": (4, "8b3e17db1ad06ab12242e3a17dada5c474a4fb504138d55de0fbbd07b5ce146d"),
 }
 
 
