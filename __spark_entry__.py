@@ -320,6 +320,15 @@ def q_mlm_examples(spark, sf_dir):
     return mlm_examples(_t(spark, sf_dir, "documents"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing map (128-token windows over the
+    doc_id-ordered corpus token stream) — distributed prefix sum, no
+    single-task sort; every value integer, DuckDB-reproducible."""
+    from coap_rfc_knowledge_graph_spark.operators.pretrain import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), context_len=128)
+
+
 def q_literal_overlap(spark, sf_dir):
     """Q7: rule pairs sharing a variable — the real `literal_overlap`
     operator (explode atoms -> distinct -> equi-self-join) over a
@@ -624,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
+        "pack_sequences": q_pack_sequences,
         "literal_overlap": q_literal_overlap,
         "fewshot_prompts": q_fewshot_prompts,
         "kg_single_rule": q_kg_single_rule,
@@ -919,6 +929,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
             FROM f WHERE n_tokens >= 10 AND 10 * n_digit < n_chars
+        """,
+        "pack_sequences": r"""
+            WITH counted AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+              FROM documents
+            ),
+            started AS (
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+              FROM counted WHERE n_tokens > 0
+            ),
+            fan AS (
+              SELECT doc_id, n_tokens, start, CAST(w AS BIGINT) AS window_id
+              FROM started, LATERAL (
+                SELECT unnest(range(start // 128, (start + n_tokens - 1) // 128 + 1)) AS w
+              ) t
+            )
+            SELECT window_id, doc_id,
+                   CAST(greatest(0, window_id * 128 - start) AS BIGINT) AS slice_start,
+                   CAST(least(n_tokens, (window_id + 1) * 128 - start)
+                        - greatest(0, window_id * 128 - start) AS BIGINT) AS slice_len,
+                   CAST(greatest(0, start - window_id * 128) AS BIGINT) AS win_offset
+            FROM fan
         """,
         "literal_overlap": """
             WITH vars AS (

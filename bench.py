@@ -153,6 +153,11 @@ def main() -> None:
             "modal_context",
             lambda: docs.filter(F.col("text").rlike(r"(?i)\b(must|stream|window)\b")).count(),
         )
+        from coap_rfc_knowledge_graph_spark.operators.pretrain import nsp_pairs
+        from coap_rfc_knowledge_graph_spark.operators.text_stats import repetition_features
+
+        timed("nsp_pairs", lambda: nsp_pairs(docs).count(), repeat=2)
+        timed("repetition_stats", lambda: repetition_features(docs).count(), repeat=2)
 
     queries_out = dict(timings)
     queries_out["docs_per_sec"] = round(n_docs / flagship, 2) if flagship else 0.0

@@ -51,3 +51,34 @@ def zip_with_rank(df: DataFrame, order_cols: list[str], idx_col: str = "idx") ->
         .withColumn(idx_col, (F.col("__local") + F.col("__off")).cast("long"))
         .drop("__pid", "__local", "__off")
     )
+
+
+def zip_with_cumsum(
+    df: DataFrame, order_cols: list[str], value_col: str, out_col: str = "cum"
+) -> DataFrame:
+    """Add ``out_col``: the EXCLUSIVE prefix sum of ``value_col`` under
+    the total lexicographic order of ``order_cols`` — the same two-stage
+    shape as :func:`zip_with_rank` (parallel per-partition window +
+    broadcast per-partition offsets), so no single-task global sort at
+    any size. Used by ``operators.pretrain.pack_sequences`` (global
+    token offsets for concat-and-chunk packing)."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(n_parts, *order_cols)
+    part = ordered.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=False)
+    in_part = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn("__local", F.coalesce(F.sum(value_col).over(in_part), F.lit(0)))
+    totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(off_w), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), on="__pid")
+        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.ranking import zip_with_rank
+from ..functions.ranking import zip_with_cumsum, zip_with_rank
 
 _MOD = 2147483647  # 2^31 - 1 (Park-Miller modulus)
 _MULT = 48271
@@ -143,4 +143,50 @@ def mlm_examples(docs: DataFrame) -> DataFrame:
         "is_next",
         F.array_join(masked, " ").alias("masked_text"),
         F.size(F.filter(masked, lambda t: t == F.lit(MASK))).alias("n_masked"),
+    )
+
+
+def pack_sequences(docs: DataFrame, context_len: int = 128) -> DataFrame:
+    """Concat-and-chunk sequence packing — the assignment map that GPT-
+    style pretraining uses to cut the concatenated corpus token stream
+    into fixed ``context_len`` windows (each document contributes a
+    slice to every window it straddles; no padding between documents).
+
+    Output: (window_id, doc_id, slice_start, slice_len, win_offset) —
+    for each (document, window) incidence, ``slice_start`` is the
+    0-based token offset of the slice inside the DOCUMENT,
+    ``win_offset`` its offset inside the WINDOW. Token gathering happens
+    at read time from this map; the map itself is the shuffle-heavy part
+    at 10^12 documents.
+
+    Scale shape: one distributed exclusive prefix sum over doc_id order
+    (two-stage ``zip_with_cumsum`` — parallel windows + broadcast
+    offsets, no single-task sort), then a per-document fan-out of
+    ceil(n/L)+1 rows via sequence+explode. Pure Catalyst; the DuckDB
+    oracle (driver entry ``pack_sequences``) reproduces every value.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.when(F.trim(F.col("text")) == "", 0).otherwise(F.size(toks))
+    counted = docs.select("doc_id", n.cast("long").alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    started = zip_with_cumsum(counted, ["doc_id"], "n_tokens", out_col="start")
+    L = F.lit(context_len)
+    w0 = F.floor(F.col("start") / L)
+    w1 = F.floor((F.col("start") + F.col("n_tokens") - 1) / L)
+    fan = started.select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        F.explode(F.sequence(w0, w1)).alias("window_id"),
+    )
+    slice_start = F.greatest(F.lit(0), F.col("window_id") * L - F.col("start"))
+    slice_end = F.least(F.col("n_tokens"), (F.col("window_id") + 1) * L - F.col("start"))
+    win_offset = F.greatest(F.lit(0), F.col("start") - F.col("window_id") * L)
+    return fan.select(
+        "window_id",
+        "doc_id",
+        slice_start.cast("long").alias("slice_start"),
+        (slice_end - slice_start).cast("long").alias("slice_len"),
+        win_offset.cast("long").alias("win_offset"),
     )

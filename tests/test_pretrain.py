@@ -85,3 +85,31 @@ def test_mlm_specials_exempt_and_counts(spark, docs):
 def test_mlm_plan_has_no_python_worker(spark, docs):
     plan = mlm_examples(docs)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_tiles_windows_exactly(spark, docs):
+    """Concat-and-chunk packing map: slices must tile every window
+    exactly (full L tokens per window except the last), cover every
+    document token exactly once, and be invariant to input partitioning
+    (the prefix sum is the distributed two-stage form)."""
+    from coap_rfc_knowledge_graph_spark.operators.pretrain import pack_sequences
+
+    L = 32
+    rows = pack_sequences(docs, context_len=L).collect()
+    total_tokens = sum(40 + (i % 3) * 16 for i in range(12))
+    assert sum(r.slice_len for r in rows) == total_tokens
+    by_win = {}
+    for r in rows:
+        by_win.setdefault(r.window_id, []).append(r)
+    last_win = max(by_win)
+    for w, slices in by_win.items():
+        slices.sort(key=lambda r: r.win_offset)
+        pos = 0
+        for s in slices:
+            assert s.win_offset == pos  # contiguous tiling, no gaps
+            assert s.slice_len > 0
+            pos += s.slice_len
+        assert pos == (L if w != last_win else total_tokens - last_win * L)
+    a = sorted(map(tuple, rows))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(7), context_len=L).collect()))
+    assert a == b
