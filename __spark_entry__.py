@@ -572,6 +572,16 @@ def q_variables_native(spark, sf_dir):
     return native_variables(docs)
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Composed C4/Gopher-style cleaning pass: quality gate + repetition
+    gate + exact-dedup keep-first, in one call — projections plus two
+    hash aggregates, fully DuckDB-reproducible including the float
+    quality score."""
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import clean_corpus
+
+    return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style within-document repetition filters: top-word share +
     duplicate 2/3-gram shares + combined flag — pure array expressions,
@@ -629,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variables_native": q_variables_native,
         "coref_native": q_coref_native,
         "repetition_stats": q_repetition_stats,
+        "clean_corpus": q_clean_corpus,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "nsp_pairs": q_nsp_pairs,
@@ -1103,6 +1114,68 @@ def oracle_sql() -> dict[str, str]:
                          '\b(MUST NOT|SHALL NOT|SHOULD NOT|MAY NOT|NOT RECOMMENDED)\b')
                     THEN 'False' ELSE 'True' END || ';' AS variables
         FROM vj
+        """,
+        "clean_corpus": r"""
+            WITH feats AS (
+              SELECT doc_id, text, lang, source, n_chars,
+                     length(text) AS nc,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                     len(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+                     len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                     len(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                     len(regexp_extract_all(lower(text),
+                         '(?i)\b(the|and|of|to|in|is|that|for|with|a)\b', 1)) AS n_stop
+              FROM documents
+            ),
+            scored AS (
+              SELECT doc_id, text, lang, source, n_chars, n_tokens,
+                     least(
+                       CASE WHEN n_tokens < 5 THEN 0.0 ELSE greatest(0.0,
+                         1.0
+                         - (CASE WHEN nc > 0 THEN n_punct / CAST(nc AS DOUBLE) ELSE 0.0 END) * 2
+                         - (CASE WHEN nc > 0 THEN n_digit / CAST(nc AS DOUBLE) ELSE 0.0 END) * 2
+                         - (CASE WHEN nc > 0 THEN n_upper / CAST(nc AS DOUBLE) ELSE 0.0 END)
+                         + least(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE)
+                                      ELSE 0.0 END, 0.3)) END,
+                       1.0) AS quality_score
+              FROM feats
+            ),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+              FROM documents
+            ),
+            rep AS (
+              SELECT doc_id, len(ts) AS n,
+                     CASE WHEN len(ts) > 0 THEN
+                       list_max(list_transform(list_distinct(ts),
+                                               d -> len(list_filter(ts, x -> x = d))))
+                     ELSE 0 END AS topc,
+                     CASE WHEN len(ts) >= 3 THEN
+                       list_transform(range(1, CAST(len(ts) AS INT) - 1),
+                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                     ELSE [] END AS g3
+              FROM toks
+            ),
+            flags AS (
+              SELECT doc_id,
+                     CAST((CASE WHEN n > 0 THEN topc / CAST(n AS DOUBLE) ELSE 0.0 END) > 0.2
+                          OR (CASE WHEN len(g3) > 0
+                                   THEN 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
+                                   ELSE 0.0 END) > 0.3 AS INT) AS rep_flagged
+              FROM rep
+            ),
+            gated AS (
+              SELECT s.doc_id, s.text, s.lang, s.source, s.n_chars, s.quality_score
+              FROM scored s JOIN flags f USING (doc_id)
+              WHERE s.quality_score >= 0.3 AND s.n_tokens >= 10 AND f.rep_flagged = 0
+            ),
+            keep AS (
+              SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+            )
+            SELECT g.* FROM gated g JOIN keep USING (doc_id)
         """,
         "repetition_stats": r"""
             WITH toks AS (

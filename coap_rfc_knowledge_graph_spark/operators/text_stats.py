@@ -205,3 +205,40 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "rep_flagged",
         ((F.col("top_word_frac") > 0.2) | (F.col("dup_3gram_frac") > 0.3)).cast("int"),
     )
+
+
+# --- composed corpus cleaning (C4/Gopher-style) -------------------------------
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    min_tokens: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """One-call C4/Gopher-style cleaning pipeline — the composition a
+    training-data run actually executes: quality gate (score >=
+    ``min_quality``, >= ``min_tokens`` tokens), repetition gate (not
+    ``rep_flagged``), and exact-dedup keep-first (min doc_id per
+    identical text). Returns the surviving rows of ``docs`` with
+    ``quality_score`` attached.
+
+    Scale shape: the two gates are pure projections (zero shuffle); the
+    dedup adds the same two hash aggregates + left-semi join as
+    ``dedup.dedup_exact``. Nothing else. Every step is DuckDB-
+    reproducible (driver entry ``clean_corpus``)."""
+    from .dedup import dedup_exact
+
+    q = quality_features(docs, text_col).select("doc_id", "n_tokens", "quality_score")
+    r = repetition_features(docs, text_col).select("doc_id", "rep_flagged")
+    gated = (
+        docs.join(q, on="doc_id")
+        .join(r, on="doc_id")
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("rep_flagged") == 0)
+        )
+        .drop("n_tokens", "rep_flagged")
+    )
+    return dedup_exact(gated, id_col="doc_id", text_col=text_col)

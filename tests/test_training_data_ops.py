@@ -366,3 +366,26 @@ def test_repetition_features_semantics_and_plan(spark):
 
     plan = repetition_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_clean_corpus_gates_and_dedup(spark):
+    """Composed cleaning pass: each gate (quality, min-tokens,
+    repetition, exact-dup keep-first) must independently drop its
+    crafted offender while clean docs survive with a score attached."""
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import clean_corpus
+
+    good = "the quick brown fox is happy to run for miles in the field with a friend today"
+    rows = [
+        (1, good, "en", "s", len(good)),
+        (2, "1 2 3 4 5 6 7 8 9 10 11 12 13 14", "en", "s", 34),     # digit-heavy -> low score
+        (3, "short text here", "en", "s", 15),                       # < 10 tokens
+        (4, " ".join(["spam"] * 40), "en", "s", 199),                # repetition-flagged
+        (5, good, "en", "s", len(good)),                             # exact dup of 1 -> dropped
+        (6, good + " but slightly different at the end", "en", "s", len(good) + 36),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = clean_corpus(df).collect()
+    kept = sorted(r.doc_id for r in out)
+    assert kept == [1, 6], kept
+    assert all(r.quality_score >= 0.3 for r in out)
+    assert set(out[0].asDict()) == {"doc_id", "text", "lang", "source", "n_chars", "quality_score"}
