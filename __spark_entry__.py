@@ -591,6 +591,16 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_features(_t(spark, sf_dir, "documents"))
 
 
+def q_ivf_native(spark, sf_dir):
+    """Value-verifiable native IVF (integerized vectors, deterministic
+    first-N centroids, argmin-L2 assignment, 2-probe, exact integer-dot
+    re-rank) — the hash-verified variant of the ANN-IVF family; the
+    sampled-k-means path (`ann_ivf_topk`) stays rows-only."""
+    from coap_rfc_knowledge_graph_spark.operators.similarity import ivf_topk_native
+
+    return ivf_topk_native(_t(spark, sf_dir, "embeddings"))
+
+
 def q_coref_native(spark, sf_dir):
     """Value-verifiable native analog of the M8 coref chain (context
     window + per-occurrence fan-out + prefix scan + last-candidate
@@ -638,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities_native": q_kg_entities_native,
         "variables_native": q_variables_native,
         "coref_native": q_coref_native,
+        "ivf_native": q_ivf_native,
         "repetition_stats": q_repetition_stats,
         "clean_corpus": q_clean_corpus,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1218,6 +1229,54 @@ def oracle_sql() -> dict[str, str]:
             FROM fr
         """,
         "coref_native": _coref_native_sql(),
+        "ivf_native": """
+            WITH iv AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+              FROM embeddings
+            ),
+            cents AS (SELECT CAST(vec_id AS INT) AS cell, iv AS cv FROM iv WHERE vec_id < 8),
+            crossed AS (
+              SELECT iv.vec_id, iv.iv, c.cell,
+                     list_sum(list_transform(range(len(iv.iv)),
+                              i -> (iv.iv[i+1] - c.cv[i+1]) * (iv.iv[i+1] - c.cv[i+1]))) AS dist
+              FROM iv CROSS JOIN cents c
+            ),
+            assigned AS (
+              SELECT vec_id, iv, cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                FROM crossed
+              ) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS query_id, iv AS qv FROM assigned WHERE vec_id < 4),
+            qdist AS (
+              SELECT q.query_id, q.qv, c.cell,
+                     list_sum(list_transform(range(len(q.qv)),
+                              i -> (q.qv[i+1] - c.cv[i+1]) * (q.qv[i+1] - c.cv[i+1]))) AS dist
+              FROM q CROSS JOIN cents c
+            ),
+            probed AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+                FROM qdist
+              ) WHERE rn <= 2
+            ),
+            cand AS (
+              SELECT p.query_id, a.vec_id,
+                     CAST(list_sum(list_transform(range(len(a.iv)),
+                          i -> a.iv[i+1] * p.qv[i+1])) AS BIGINT) AS idot
+              FROM assigned a JOIN probed p USING (cell)
+              WHERE a.vec_id != p.query_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY idot DESC, vec_id ASC) AS rank
+              FROM cand
+            )
+            SELECT query_id, CAST(rank AS INT) AS rank, vec_id, idot
+            FROM ranked WHERE rank <= 5
+        """,
         "simhash_native": """
             WITH toks AS (
               SELECT doc_id,

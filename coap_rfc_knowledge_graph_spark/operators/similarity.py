@@ -208,3 +208,78 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", F.col("cosine").cast("double").alias("cosine"))
     )
+
+
+def ivf_topk_native(
+    emb: DataFrame,
+    n_cells: int = 8,
+    k: int = 5,
+    n_queries: int = 4,
+    probes: int = 2,
+) -> DataFrame:
+    """Value-verifiable NATIVE IVF: (query_id, rank, vec_id, idot).
+
+    The sampled-k-means IVF (:func:`ivf_topk`) trains driver-side, so
+    the driver gate can only count its rows; this variant makes the IVF
+    *shape* — cell assignment, multi-probe, within-cell exact re-rank —
+    hash-verifiable by removing every float and every sampled choice:
+    vectors are integerized (``round(x * 1e6)``, the ``knn_topk`` oracle
+    trick), the "centroids" are the first ``n_cells`` vectors by vec_id
+    (deterministic stand-in for training), assignment is integer
+    argmin-L2 (lexicographic struct min — ties break on cell id), each
+    query probes its ``probes`` nearest cells, and candidates re-rank by
+    exact integer dot. DuckDB reproduces every value.
+
+    Scale shape: assignment is a broadcast nested-loop over ``n_cells``
+    tiny centroid rows (n_cells x corpus FLOPs — the same cost class as
+    any IVF assignment); the candidate join is an equi-join on cell id;
+    the top-k window partitions by query. No driver-side state at all.
+    """
+    ivec = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000000).cast("long")
+    )
+    iv = emb.select(F.col("vec_id"), ivec.alias("iv"))
+    cents = iv.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("iv").alias("cv")
+    )
+    l2 = F.aggregate(
+        F.zip_with("iv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    crossed = iv.crossJoin(F.broadcast(cents)).withColumn("dist", l2)
+    assigned = crossed.groupBy("vec_id", "iv").agg(
+        F.min(F.struct("dist", "cell")).alias("best")
+    ).select("vec_id", "iv", F.col("best.cell").alias("cell"))
+
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("iv").alias("qv")
+    )
+    qdist = q.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wp = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probed = (
+        qdist.withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= probes)
+        .select("query_id", "qv", "cell")
+    )
+    idot = F.aggregate(
+        F.zip_with("iv", "qv", lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    cand = (
+        assigned.join(probed, on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("idot", idot)
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("idot"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "idot")
+    )

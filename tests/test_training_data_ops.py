@@ -389,3 +389,32 @@ def test_clean_corpus_gates_and_dedup(spark):
     assert kept == [1, 6], kept
     assert all(r.quality_score >= 0.3 for r in out)
     assert set(out[0].asDict()) == {"doc_id", "text", "lang", "source", "n_chars", "quality_score"}
+
+
+def test_ivf_native_full_probe_equals_exact(spark):
+    """ivf_topk_native with probes = n_cells must equal the exact
+    integer-dot top-k over the whole corpus (full probing degenerates
+    IVF to brute force); with fewer probes the result is a subset of
+    candidates only — the approximation contract."""
+    from pyspark.sql import functions as F
+
+    from coap_rfc_knowledge_graph_spark.operators.similarity import ivf_topk_native
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = ivf_topk_native(emb, n_cells=4, k=5, n_queries=3, probes=4).collect()
+
+    ivec = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") * 1000000).cast("long"))
+    iv = emb.select("vec_id", ivec.alias("iv"))
+    q = iv.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), F.col("iv").alias("qv"))
+    dot = F.aggregate(F.zip_with("iv", "qv", lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    exact = (
+        iv.crossJoin(q).filter(F.col("vec_id") != F.col("query_id")).withColumn("idot", dot)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("idot"), F.asc("vec_id"))
+    exact5 = exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted([(r.query_id, r.rank, r.vec_id, r.idot) for r in full]) == sorted(
+        [(r.query_id, r.rank, r.vec_id, r.idot) for r in exact5]
+    )
