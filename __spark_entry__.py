@@ -591,6 +591,31 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_features(_t(spark, sf_dir, "documents"))
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 vector quantization (scale + integer codes) —
+    pure projection, every value DuckDB-reproducible."""
+    from coap_rfc_knowledge_graph_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    # codes as a joined string: scalar cells hash engine-identically
+    # (array cells stringify differently across pandas bridges)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias("code"),
+    )
+
+
+def q_winnowing_overlap(spark, sf_dir):
+    """Winnowing local-overlap pairs: fingerprint equi-join + shared
+    count (>= 5) over the first 100 docs — the quotation/plagiarism
+    detector whole-document hashing misses."""
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import winnowing_overlap
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnowing_overlap(docs)
+
+
 def q_ivf_native(spark, sf_dir):
     """Value-verifiable native IVF (integerized vectors, deterministic
     first-N centroids, argmin-L2 assignment, 2-probe, exact integer-dot
@@ -649,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variables_native": q_variables_native,
         "coref_native": q_coref_native,
         "ivf_native": q_ivf_native,
+        "quantize_embeddings": q_quantize_embeddings,
+        "winnowing_overlap": q_winnowing_overlap,
         "repetition_stats": q_repetition_stats,
         "clean_corpus": q_clean_corpus,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1229,6 +1256,47 @@ def oracle_sql() -> dict[str, str]:
             FROM fr
         """,
         "coref_native": _coref_native_sql(),
+        "quantize_embeddings": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings
+            )
+            SELECT vec_id, scale,
+                   array_to_string(list_transform(embedding, x ->
+                     CASE WHEN scale > 0
+                          THEN CAST(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT) AS VARCHAR)
+                          ELSE '0' END), ',') AS code
+            FROM s
+        """,
+        "winnowing_overlap": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS t
+              FROM documents WHERE doc_id < 100
+            ),
+            hs AS (
+              SELECT doc_id,
+                     list_transform(range(1, CAST(greatest(length(t) - 7, 1) AS INT) + 1),
+                                    i -> substr(md5(substr(t, i, 8)), 1, 8)) AS hashes
+              FROM norm
+            ),
+            mins AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, CAST(greatest(len(hashes) - 3, 1) AS INT) + 1),
+                       i -> list_min(hashes[i : i + 3]))) AS fps
+              FROM hs
+            ),
+            ex0 AS (SELECT doc_id, unnest(fps) AS fp FROM mins),
+            rare AS (SELECT fp FROM ex0 GROUP BY fp HAVING COUNT(*) <= 5),
+            ex AS (SELECT ex0.doc_id, ex0.fp FROM ex0 JOIN rare USING (fp))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 5
+        """,
         "ivf_native": """
             WITH iv AS (
               SELECT vec_id,

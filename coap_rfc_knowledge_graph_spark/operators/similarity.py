@@ -283,3 +283,30 @@ def ivf_topk_native(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "idot")
     )
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the vector
+    storage form an ANN index keeps at 100 TB (4x smaller than float32,
+    dot products stay integer): per row ``scale = max|v| / 127`` and
+    ``q_i = floor(v_i / scale + 0.5)`` (round-half-up, spelled out as
+    floor so every engine computes the identical integer; an all-zero
+    vector gets scale 0 and an all-zero code). Dequantization error is
+    bounded by scale/2 per component (pinned in tests). Pure projection
+    — zero shuffle; DuckDB reproduces every value (driver entry
+    ``quantize_embeddings``)."""
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    # scale is materialized as a COLUMN before the code transform:
+    # inlining it into the per-element lambda nests the array_max
+    # subtree inside another higher-order function, which sends the
+    # optimizer into minutes-long expression blowup
+    with_scale = emb.select("vec_id", "embedding", (absmax / F.lit(127.0)).alias("scale"))
+    q = F.transform(
+        "embedding",
+        lambda x: F.when(
+            F.col("scale") > 0, F.floor(x.cast("double") / F.col("scale") + F.lit(0.5))
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return with_scale.select("vec_id", "scale", q.alias("qvec"))

@@ -19,7 +19,7 @@ runs FIRST, so staying JVM-native here matters most.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # --- language ID --------------------------------------------------------------
@@ -127,29 +127,55 @@ def content_fingerprint_expr(text_col: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text_col), r"[^a-z0-9]+", ""))
 
 
-def winnowing_fingerprints(
+def winnowing_fingerprint_rows(
     docs: DataFrame, k: int = 8, window: int = 4, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Winnowing (Schleimer et al.): k-gram hashes, min per sliding
-    window of ``window`` hashes -> (doc_id, fingerprints array<string>).
-    Native: shingle transform -> md5 prefix -> windowed min via
-    transform over positions. Shared fingerprints across docs signal
-    local plagiarism/quotation overlap; join on exploded fingerprints
-    for pair detection."""
+    """Winnowing (Schleimer et al.) in exploded row form: (doc_id, fp)
+    — one row per distinct selected fingerprint (min k-gram hash per
+    sliding window of ``window`` hashes).
+
+    Implementation note (scale-critical): the obvious all-array form —
+    ``transform(positions, i -> array_min(slice(hashes, i, w)))`` —
+    is QUADRATIC in document length, because Catalyst inlines the
+    ``hashes`` subtree into the per-position lambda instead of
+    materializing it, recomputing every gram hash for every window.
+    The exploded form hashes each gram once and takes the window min
+    with an analytic window over positions — linear, at the cost of one
+    doc_id shuffle (which the downstream overlap join needs anyway)."""
     t = F.lower(F.col(text_col))
     norm = F.regexp_replace(t, r"[^a-z0-9]+", " ")
     n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
-    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8))
-    n_h = F.size(hashes)
-    n_windows = F.greatest(n_h - F.lit(window - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("__norm"),
+        n.alias("__n"),
+        F.explode(F.sequence(F.lit(1), n)).alias("pos"),
+    ).select(
+        "doc_id",
+        "__n",
+        "pos",
+        F.substring(F.md5(F.col("__norm").substr(F.col("pos"), F.lit(k))), 1, 8).alias("h"),
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.array_distinct(mins).alias("fingerprints")
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        ex.withColumn("fp", F.min("h").over(w))
+        # exclude partial tail windows (array semantics: n_h - window + 1
+        # full windows, at least one)
+        .filter(F.col("pos") <= F.greatest(F.col("__n") - F.lit(window - 1), F.lit(1)))
+        .select("doc_id", "fp")
+        .distinct()
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 8, window: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fingerprints array<string>): the array view of
+    :func:`winnowing_fingerprint_rows` (sorted for determinism). Shared
+    fingerprints across docs signal local plagiarism/quotation overlap;
+    use the row form directly for the pair join."""
+    rows = winnowing_fingerprint_rows(docs, k=k, window=window, id_col=id_col, text_col=text_col)
+    return rows.groupBy("doc_id").agg(F.sort_array(F.collect_set("fp")).alias("fingerprints"))
 
 
 # --- repetition filters (Gopher-rule flavour) ---------------------------------
@@ -242,3 +268,43 @@ def clean_corpus(
         .drop("n_tokens", "rep_flagged")
     )
     return dedup_exact(gated, id_col="doc_id", text_col=text_col)
+
+
+def winnowing_overlap(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 5,
+    max_fp_freq: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Local-overlap pair detection on winnowing fingerprints
+    (Schleimer et al.): explode each document's selected fingerprints,
+    equi-self-join on the fingerprint, count shared per pair — pairs
+    sharing >= ``min_shared`` fingerprints signal quotation/plagiarism-
+    style LOCAL overlap that whole-document hashing misses.
+
+    ``max_fp_freq`` drops fingerprints appearing in more than that many
+    documents BEFORE the join — the head-key skew guard (a boilerplate
+    fingerprint shared by millions of pages would otherwise make the
+    join quadratic in the head group; the same cap as ngram_jaccard's
+    ``max_shingle_freq``, and a discarded ubiquitous fingerprint carries
+    no overlap signal anyway).
+
+    Scale shape: the only shuffle is the fingerprint equi-join (the
+    same bucketed shape as every LSH family here — never all-pairs, and
+    group width is bounded by the cap); the count aggregate partitions
+    by the pair key."""
+    ex = winnowing_fingerprint_rows(docs, k=k, window=window, id_col=id_col, text_col=text_col)
+    rare = ex.groupBy("fp").count().filter(F.col("count") <= max_fp_freq).select("fp")
+    ex = ex.join(rare, on="fp")
+    a = ex.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

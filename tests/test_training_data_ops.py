@@ -418,3 +418,44 @@ def test_ivf_native_full_probe_equals_exact(spark):
     assert sorted([(r.query_id, r.rank, r.vec_id, r.idot) for r in full]) == sorted(
         [(r.query_id, r.rank, r.vec_id, r.idot) for r in exact5]
     )
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    """int8 quantization: dequantized values must be within scale/2 of
+    the original per component; codes within [-127, 127]; all-zero
+    vectors get scale 0 and zero codes."""
+    from coap_rfc_knowledge_graph_spark.operators.similarity import quantize_embeddings
+
+    rows = [(0, [0.5, -1.0, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0]), (2, [2.0, -2.0, 1.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for vid, vec in rows:
+        r = out[vid]
+        if all(v == 0.0 for v in vec):
+            assert r.scale == 0.0 and all(q == 0 for q in r.qvec)
+            continue
+        assert abs(r.scale - max(abs(v) for v in vec) / 127.0) < 1e-12
+        for v, q in zip(vec, r.qvec):
+            assert -127 <= q <= 127
+            assert abs(q * r.scale - v) <= r.scale / 2 + 1e-9
+
+
+def test_winnowing_overlap_detects_local_quotation(spark):
+    """A document quoting a long passage from another must pair with it;
+    disjoint documents must not; a boilerplate fingerprint shared by
+    more than max_fp_freq docs is excluded from the join."""
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import winnowing_overlap
+
+    passage = "the inner workings of the catalyst optimizer rewrite logical plans into physical plans"
+    rows = [
+        (0, "intro text before the quote " + passage + " and commentary after"),
+        (1, passage + " appears verbatim in this second document too"),
+        (2, "entirely unrelated content about streaming watermarks and state stores here"),
+    ]
+    # docs 3..9 share one boilerplate sentence -> its fingerprints exceed
+    # max_fp_freq=5 and are dropped, so they pair with nothing
+    rows += [(i, "standard legal boilerplate footer text all rights reserved") for i in range(3, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in winnowing_overlap(df, min_shared=3).collect()}
+    assert (0, 1) in pairs, pairs
+    assert all({a, b} <= {0, 1} for a, b in pairs), pairs
