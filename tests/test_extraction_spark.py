@@ -199,3 +199,18 @@ def test_fused_triples_equals_unfused(spark):
         tuple(r) for r in extract_triples(generate_pairs_from_arrays(marr)).collect()
     }
     assert fused == unfused and fused
+
+
+def test_full_extract_stage_partitioning_invariance(spark):
+    """END-TO-END flagship invariance: the full extract chain (sentences
+    -> mentions -> fused pairs+relations -> triples) must emit identical
+    triples at url_partitions=2 and =16 — no stage may leak partition
+    layout into content (the sentence-level test pins only stage 1)."""
+    from coap_rfc_knowledge_graph_spark.plans.pipeline import extract_stage
+    from coap_rfc_knowledge_graph_spark.sources.pages import synthetic_pages
+
+    pages = synthetic_pages(spark, 30, seed=23)
+    key = ["url", "sent_id", "subj", "pred", "obj"]
+    a = extract_stage(pages, url_partitions=2).triples.orderBy(*key).collect()
+    b = extract_stage(pages, url_partitions=16).triples.orderBy(*key).collect()
+    assert a == b and len(a) > 0
