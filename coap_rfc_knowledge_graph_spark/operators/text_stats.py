@@ -241,6 +241,7 @@ def clean_corpus(
     min_quality: float = 0.3,
     min_tokens: int = 10,
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """One-call C4/Gopher-style cleaning pipeline — the composition a
     training-data run actually executes: quality gate (score >=
@@ -255,10 +256,13 @@ def clean_corpus(
     reproducible (driver entry ``clean_corpus``)."""
     from .dedup import dedup_exact
 
-    q = quality_features(docs, text_col).select("doc_id", "n_tokens", "quality_score")
-    r = repetition_features(docs, text_col).select("doc_id", "rep_flagged")
+    # the feature operators key on doc_id; alias in/out for other id
+    # columns (e.g. the pages table's url — jobs/run_pipeline.py --clean)
+    work = docs if id_col == "doc_id" else docs.withColumnRenamed(id_col, "doc_id")
+    q = quality_features(work, text_col).select("doc_id", "n_tokens", "quality_score")
+    r = repetition_features(work, text_col).select("doc_id", "rep_flagged")
     gated = (
-        docs.join(q, on="doc_id")
+        work.join(q, on="doc_id")
         .join(r, on="doc_id")
         .filter(
             (F.col("quality_score") >= min_quality)
@@ -267,7 +271,8 @@ def clean_corpus(
         )
         .drop("n_tokens", "rep_flagged")
     )
-    return dedup_exact(gated, id_col="doc_id", text_col=text_col)
+    out = dedup_exact(gated, id_col="doc_id", text_col=text_col)
+    return out if id_col == "doc_id" else out.withColumnRenamed("doc_id", id_col)
 
 
 def winnowing_overlap(

@@ -26,6 +26,13 @@ def main() -> None:
         help="accepted for explicitness; resume is automatic — complete "
         "stages are skipped via their lineage manifests either way",
     )
+    ap.add_argument(
+        "--clean",
+        action="store_true",
+        help="run the C4/Gopher-style clean_corpus pre-pass (quality + "
+        "repetition gates, exact-dedup keep-first by url) on the pages "
+        "table before extraction",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -34,6 +41,10 @@ def main() -> None:
 
     spark = SparkSession.builder.appName(args.app_name).getOrCreate()
     pages = spark.read.parquet(args.pages)
+    if args.clean:
+        from coap_rfc_knowledge_graph_spark.operators.text_stats import clean_corpus
+
+        pages = clean_corpus(pages, id_col="url").drop("quality_score")
     store = run_resumable(spark, pages, args.out, url_partitions=args.url_partitions)
     for stage in ["sentences", "mentions", "triples", "entities", "rules", "edges", "contradictions"]:
         m = store.manifest(stage)

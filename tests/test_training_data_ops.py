@@ -459,3 +459,21 @@ def test_winnowing_overlap_detects_local_quotation(spark):
     pairs = {(r.doc_a, r.doc_b) for r in winnowing_overlap(df, min_shared=3).collect()}
     assert (0, 1) in pairs, pairs
     assert all({a, b} <= {0, 1} for a, b in pairs), pairs
+
+
+def test_clean_corpus_on_pages_by_url(spark):
+    """clean_corpus with id_col='url' (the jobs/run_pipeline.py --clean
+    pre-pass shape): keeps the min-url representative of duplicate
+    texts and preserves the pages schema plus quality_score."""
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import clean_corpus
+
+    good = "the quick brown fox is happy to run for miles in the field with a friend today"
+    rows = [
+        ("https://a.com/1", None, good, "en"),
+        ("https://b.com/2", None, good, "en"),  # dup -> a.com kept (min url)
+        ("https://c.com/3", None, good + " with an extra different ending sentence", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary, text string, lang string")
+    out = clean_corpus(df, id_col="url").collect()
+    assert sorted(r.url for r in out) == ["https://a.com/1", "https://c.com/3"]
+    assert set(out[0].asDict()) == {"url", "html", "text", "lang", "quality_score"}
