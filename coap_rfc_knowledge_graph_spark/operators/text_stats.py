@@ -181,30 +181,33 @@ def winnowing_fingerprints(
 # --- repetition filters (Gopher-rule flavour) ---------------------------------
 
 
-def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds the within-document repetition signals the Gopher/MassiveText
-    quality rules filter on: ``top_word_frac`` (share of tokens taken by
-    the single most frequent word) and ``dup_{2,3}gram_frac`` (share of
-    n-grams that are repeats of an earlier n-gram), plus a combined
-    ``rep_flagged`` using Gopher-like thresholds (top word > 0.2, or
-    duplicate 3-grams > 0.3). Counted over words rather than characters
-    (documented simplification of the character-fraction variant).
-
-    Scale shape: every signal is a higher-order array expression on the
-    row's own token list — ZERO shuffle, zero explode, whole-stage
-    codegen; the most-frequent-word count is distinct x occurrences
-    (quadratic only in the single document's vocabulary). DuckDB
-    reproduces every value (driver entry ``repetition_stats``).
-    """
+def _repetition_cols(text_col: str) -> dict[str, Column]:
+    """The repetition signal expressions, shared by
+    :func:`repetition_features` (signal table) and :func:`clean_corpus`
+    (inline gate — no self-join needed for per-row signals)."""
     t = F.col(text_col)
     toks = F.split(F.trim(t), r"\s+")
     n = F.when(F.trim(t) == "", 0).otherwise(F.size(toks))
 
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda d: F.size(F.filter(toks, lambda x: x == d)),
+    # most-frequent-word count as the longest run in the SORTED token
+    # list — O(n log n). The naive distinct x occurrences form is
+    # O(V*n): quadratic for an adversarial all-unique-token page, a
+    # straggler at web scale. (The DuckDB oracle keeps the V*n form —
+    # max occurrence count == max sorted-run length, and the oracle only
+    # runs at test scale.)
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
         )
+
+    top_count = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(" ").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        _step,
+        lambda acc: acc["best"],
     )
 
     def dup_frac(k: int):
@@ -220,12 +223,39 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).otherwise(F.lit(0.0))
 
     safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+    top_word_frac = safe(top_count, n)
+    dup3 = dup_frac(3)
+    return {
+        "n_tokens": n,
+        "top_word_frac": top_word_frac,
+        "dup_2gram_frac": dup_frac(2),
+        "dup_3gram_frac": dup3,
+        "rep_flagged": ((top_word_frac > 0.2) | (dup3 > 0.3)).cast("int"),
+    }
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds the within-document repetition signals the Gopher/MassiveText
+    quality rules filter on: ``top_word_frac`` (share of tokens taken by
+    the single most frequent word) and ``dup_{2,3}gram_frac`` (share of
+    n-grams that are repeats of an earlier n-gram), plus a combined
+    ``rep_flagged`` using Gopher-like thresholds (top word > 0.2, or
+    duplicate 3-grams > 0.3). Counted over words rather than characters
+    (documented simplification of the character-fraction variant).
+
+    Scale shape: every signal is a higher-order array expression on the
+    row's own token list — ZERO shuffle, zero explode, whole-stage
+    codegen; the most-frequent-word count is distinct x occurrences
+    (quadratic only in the single document's vocabulary). DuckDB
+    reproduces every value (driver entry ``repetition_stats``).
+    """
+    cols = _repetition_cols(text_col)
     out = docs.select(
         "doc_id",
-        n.alias("n_tokens"),
-        safe(top_count, n).alias("top_word_frac"),
-        dup_frac(2).alias("dup_2gram_frac"),
-        dup_frac(3).alias("dup_3gram_frac"),
+        cols["n_tokens"].alias("n_tokens"),
+        cols["top_word_frac"].alias("top_word_frac"),
+        cols["dup_2gram_frac"].alias("dup_2gram_frac"),
+        cols["dup_3gram_frac"].alias("dup_3gram_frac"),
     )
     return out.withColumn(
         "rep_flagged",
@@ -256,23 +286,22 @@ def clean_corpus(
     reproducible (driver entry ``clean_corpus``)."""
     from .dedup import dedup_exact
 
-    # the feature operators key on doc_id; alias in/out for other id
-    # columns (e.g. the pages table's url — jobs/run_pipeline.py --clean)
-    work = docs if id_col == "doc_id" else docs.withColumnRenamed(id_col, "doc_id")
-    q = quality_features(work, text_col).select("doc_id", "n_tokens", "quality_score")
-    r = repetition_features(work, text_col).select("doc_id", "rep_flagged")
+    # every gate signal is a per-row expression — both feature sets are
+    # computed INLINE as columns on one projection (a previous version
+    # self-joined the docs table against each feature operator's output:
+    # two needless shuffles of the full corpus)
+    rep = _repetition_cols(text_col)
+    scored = quality_features(docs, text_col)
     gated = (
-        work.join(q, on="doc_id")
-        .join(r, on="doc_id")
+        scored.withColumn("__rep_flagged", rep["rep_flagged"])
         .filter(
             (F.col("quality_score") >= min_quality)
             & (F.col("n_tokens") >= min_tokens)
-            & (F.col("rep_flagged") == 0)
+            & (F.col("__rep_flagged") == 0)
         )
-        .drop("n_tokens", "rep_flagged")
+        .select(*docs.columns, "quality_score")
     )
-    out = dedup_exact(gated, id_col="doc_id", text_col=text_col)
-    return out if id_col == "doc_id" else out.withColumnRenamed("doc_id", id_col)
+    return dedup_exact(gated, id_col=id_col, text_col=text_col)
 
 
 def winnowing_overlap(
