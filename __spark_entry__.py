@@ -722,13 +722,15 @@ def _pretrain_ctes() -> str:
         drawn AS (
           SELECT r.doc_id, r.sent_id, r.sentence,
                  lead(sentence) OVER (PARTITION BY doc_id ORDER BY sent_id) AS next_sentence,
-                 ((doc_id % 1048576) * 1048573 + (sent_id % 1048576)) * 48271 % 2147483647 AS h
+                 ((doc_id % 1048576) * 1048573 + (sent_id % 1048576)) * 48271 % 2147483647 AS h,
+                 ((doc_id % 1048576) * 524287 + (sent_id % 1048576) * 131071 + 11)
+                   * 48271 % 2147483647 AS h2
           FROM ranked r
         ),
         d2 AS (
           SELECT doc_id, sent_id, sentence, next_sentence,
                  CAST(h % 100 < 50 AS INT) AS is_next,
-                 h % (SELECT n FROM n) AS partner_idx
+                 h2 % (SELECT n FROM n) AS partner_idx
           FROM drawn
         ),
         nsp AS (

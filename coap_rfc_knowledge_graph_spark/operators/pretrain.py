@@ -77,6 +77,21 @@ def _draw(doc_id, sent_id):
     return F.pmod(h * F.lit(_MULT), F.lit(_MOD))
 
 
+def _draw_partner(doc_id, sent_id):
+    """Second, independent congruential draw for the random-partner rank.
+    The label gate uses ``_draw``; deriving partner_idx from the SAME h
+    couples them: when gcd(n, 100) > 1 (a corpus size divisible by 100,
+    say) negative partners could only come from ranks with
+    rank % 100 >= 50 — half the corpus was never sampled as a negative
+    (ADVICE r3, medium). Different multipliers + an offset decorrelate
+    the two draws; intermediates stay < 2^57 (d*524287 < 2^39, *48271
+    < 2^56) so ANSI-mode arithmetic never overflows."""
+    d = F.pmod(doc_id, F.lit(1048576))
+    s = F.pmod(sent_id, F.lit(1048576))
+    h = d * F.lit(524287) + s * F.lit(131071) + F.lit(11)
+    return F.pmod(h * F.lit(_MULT), F.lit(_MOD))
+
+
 def nsp_pairs(docs: DataFrame) -> DataFrame:
     """documents -> NSP pairs(doc_id, sent_id, sent_a, sent_b, is_next).
 
@@ -96,7 +111,7 @@ def nsp_pairs(docs: DataFrame) -> DataFrame:
         ranked.withColumn("next_sentence", F.lead("sentence").over(w))
         .withColumn("h", _draw(F.col("doc_id"), F.col("sent_id")))
         .withColumn("is_next", (F.pmod(F.col("h"), F.lit(100)) < 50).cast("int"))
-        .withColumn("partner_idx", F.pmod(F.col("h"), F.lit(n)))
+        .withColumn("partner_idx", F.pmod(_draw_partner(F.col("doc_id"), F.col("sent_id")), F.lit(n)))
     )
     partners = ranked.select(F.col("idx").alias("partner_idx"), F.col("sentence").alias("random_sentence"))
     joined = drawn.join(partners, on="partner_idx")

@@ -68,6 +68,26 @@ def test_nsp_deterministic_under_partitioning(spark, docs):
     assert a == b
 
 
+def test_nsp_negative_partner_decorrelated_from_label(spark):
+    """ADVICE r3 (medium): with partner_idx and is_next derived from the
+    SAME congruential draw h, a corpus of n sentences with gcd(n, 100)>1
+    could only draw negative partners from ranks with rank%100 >= 50.
+    Fixture: 100 single-sentence docs -> n = 100, the worst case — under
+    the coupled draw NO negative partner rank below 50 could ever occur.
+    The independent second draw must sample both halves."""
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(16))) for i in range(100)]
+    docs100 = spark.createDataFrame(rows, "doc_id long, text string")
+    sents = split_sentences_native(docs100).collect()
+    assert len(sents) == 100
+    rank_of = {
+        r.sentence: k
+        for k, r in enumerate(sorted(sents, key=lambda r: (r.doc_id, r.sent_id)))
+    }
+    neg_ranks = {rank_of[r.sent_b] for r in nsp_pairs(docs100).collect() if r.is_next == 0}
+    assert any(k < 50 for k in neg_ranks), sorted(neg_ranks)
+    assert any(k >= 50 for k in neg_ranks), sorted(neg_ranks)
+
+
 def test_mlm_specials_exempt_and_counts(spark, docs):
     out = mlm_examples(docs).collect()
     assert out
