@@ -324,12 +324,16 @@ def _spec_pdf_lines(data: bytes, first: int, last: int,
             lines.extend(chunks_to_lines(page_chunks(doc, page)))
         return lines
 
-    is_spec = len(pages) >= last
-    lines = decode(pages[first:last] if is_spec else pages)
-    if is_spec and not any(fingerprint in ln for ln in lines):
-        is_spec = False
-        lines = decode(pages)
-    return lines, is_spec
+    if len(pages) < last:
+        return decode(pages), False
+    sliced = decode(pages[first:last])
+    if any(fingerprint in ln for ln in sliced):
+        return sliced, True
+    # fingerprint gate failed: a long crawled PDF, not the spec. Reuse the
+    # already-decoded slice and decode only the pages OUTSIDE it (each page
+    # decodes independently) — previously the whole document was decoded a
+    # second time (ADVICE r3).
+    return decode(pages[:first]) + sliced + decode(pages[last:]), False
 
 
 def extract_amqp_sentences(data: bytes) -> list[str]:

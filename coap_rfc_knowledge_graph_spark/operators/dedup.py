@@ -65,7 +65,10 @@ def exact_duplicates(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash")
     )
     partial = (
-        hashed.withColumn("__salt", F.pmod(F.col("doc_id"), F.lit(salt_buckets)))
+        # xxhash64, not the raw id: keeps the salt type-generic (string
+        # url ids hash fine; a numeric pmod failed analysis on them —
+        # ADVICE r3) and spreads sequential ids uniformly across buckets
+        hashed.withColumn("__salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets)))
         .groupBy("content_hash", "__salt")
         .agg(
             F.count("*").alias("pn"),

@@ -534,8 +534,16 @@ def link_surfaces_distributed(
         .distinct()
         .withColumn("qv", embed_udf(F.col("surface")))
         # consumed by the candidate join AND the zero-candidate anti-join:
-        # persist so the embedding UDF runs once per surface
-        .persist()
+        # materialize so the embedding UDF runs once per surface. Eager
+        # localCheckpoint, NOT persist(): CacheManager retains a persisted
+        # plan until an explicit unpersist, so repeated calls in a long-
+        # lived session leaked executor storage (ADVICE r3); checkpoint
+        # blocks are dropped by the ContextCleaner as soon as the consumer
+        # plans are garbage-collected. Tradeoff: lineage is truncated, so
+        # an executor loss fails the job instead of recomputing — the
+        # resume path for that is the per-stage checkpoint manifest
+        # (plans/checkpointing.py), not RDD replay.
+        .localCheckpoint(eager=True)
     )
     e = entities.select(
         F.col("entity_id").alias("e_id"),

@@ -69,6 +69,23 @@ def test_exact_duplicates_bounds_member_list(spark):
     assert g["doc_ids"] == [0, 1, 2, 3, 4]
 
 
+def test_exact_duplicates_string_ids(spark):
+    """The salt must stay type-generic: dedup_exact/clean_corpus accept a
+    string id_col (url), so the salted two-level agg must too (ADVICE r3:
+    pmod on a raw string id failed analysis; it now salts on xxhash64)."""
+    rows = [(f"https://x.example/{i}", "same text") for i in range(20)] + [
+        ("https://x.example/solo", "unique")
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    groups = exact_duplicates(docs, id_col="url", max_member_ids=3).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_docs"] == 20 and g["keep_id"] == "https://x.example/0"
+    assert g["doc_ids"] == [
+        "https://x.example/0", "https://x.example/1", "https://x.example/10"
+    ]  # lexicographic min-3
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert pairs[(0, 1)] == 1.0
