@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import MODAL_KEYWORDS, RELATION_NAMES
+from ..functions.ranking import zip_with_rank
 from ..functions.stub_models import _LEXICON
 
 # native variant's relation-hash family: first 15 md5 hex chars = 60-bit
@@ -157,9 +158,10 @@ def native_entities(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .select(F.lower(F.col("surface")).alias("canonical"))
         .distinct()
     )
-    w = Window.orderBy("canonical")  # dictionary-sized distinct set
-    return surfaces.select(
-        (F.row_number().over(w) - 1).cast("long").alias("entity_id"), "canonical"
+    # distributed zipWithIndex, not Window.orderBy (VERDICT r3 #2: the
+    # global window is a single-task sort) — identical lexicographic rank
+    return zip_with_rank(surfaces, ["canonical"], idx_col="entity_id").select(
+        "entity_id", "canonical"
     )
 
 
