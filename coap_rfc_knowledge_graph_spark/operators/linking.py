@@ -634,10 +634,12 @@ def salted_top1_join(
     order_col: str,
     salt_buckets: int = 8,
     seed: int = 42,
+    keep_salt: bool = False,
 ) -> DataFrame:
     """North-rule salted join: top-1 row of ``small`` per ``key`` joined to
     a skewed ``big`` table WITHOUT broadcasting and without one reducer
-    absorbing a head key.
+    absorbing a head key. ``keep_salt`` retains the ``__salt`` column so
+    tests can assert the head key actually spreads across buckets.
 
     big is salted with ``pmod(hash(rand), S)``; small is replicated S
     ways (explode over a literal salt array); the equi-join key becomes
@@ -652,7 +654,8 @@ def salted_top1_join(
     big_salted = big.withColumn(
         "__salt", F.pmod(F.hash(F.monotonically_increasing_id(), F.lit(seed)), F.lit(salt_buckets))
     )
-    return big_salted.join(top1_rep, on=[key, "__salt"]).drop("__salt")
+    joined = big_salted.join(top1_rep, on=[key, "__salt"])
+    return joined if keep_salt else joined.drop("__salt")
 
 
 # --- N5: per-entity variable canonicalization (grouped map) -------------------

@@ -393,6 +393,64 @@ def test_distributed_link_rescues_missed_surfaces(spark, mention_df):
     assert len(got) == len({r["surface"] for r in got})
 
 
+@pytest.fixture(scope="module")
+def skew_mention_df(spark):
+    """Adversarial head-skew corpus (SURVEY §7 mandatory test): ONE
+    surface ('Server') is 50% of all mentions — the head-entity shape the
+    north rule's salted join exists for."""
+    head = [("u%d" % (i // 10), i % 10, 1, 2, "Server") for i in range(1000)]
+    tail_surfaces = ["Token", "token value", "Client", "message id", "response code",
+                     "payload", "option number", "Max-Age", "Uri-Path", "ETag"]
+    tail = [
+        ("t%d" % (i // 10), i % 10, 1, 2, tail_surfaces[i % len(tail_surfaces)])
+        for i in range(1000)
+    ]
+    return spark.createDataFrame(
+        head + tail, "url string, sent_id int, begin int, end int, surface string"
+    )
+
+
+def test_salted_join_spreads_head_key(spark, skew_mention_df):
+    """The head key's rows must land in MULTIPLE salt buckets (one
+    reducer absorbing 50% of the corpus is exactly the skew failure the
+    salting prevents)."""
+    big = skew_mention_df.withColumn("q_surface", F.lower(F.col("surface")))
+    small = spark.createDataFrame(
+        [("server", 1.0, 7), ("token", 0.9, 8)], "q_surface string, sim double, entity_id int"
+    )
+    got = salted_top1_join(
+        big, small, key="q_surface", order_col="sim", salt_buckets=8, keep_salt=True
+    )
+    spread = {
+        r["q_surface"]: r["n_salts"]
+        for r in got.groupBy("q_surface")
+        .agg(F.countDistinct("__salt").alias("n_salts"))
+        .collect()
+    }
+    assert spread["server"] >= 6  # 1000 rows over 8 buckets: all-but-certain
+    # and no row was lost or duplicated by the salting
+    assert got.count() == 1000 + 100  # server mentions + Token mentions
+
+
+def test_link_mentions_head_skew_parity(spark, skew_mention_df):
+    """End-to-end link_mentions on the head-skew corpus: the forced
+    distributed path (LSH-pruned link + salted join-back) must equal the
+    broadcast path row-for-row, including every one of the 1000 head
+    mentions (VERDICT r3 item 6)."""
+    from coap_rfc_knowledge_graph_spark.operators.linking import link_mentions
+
+    ents = canonical_entities(skew_mention_df)
+    cols = ["url", "sent_id", "begin", "end", "surface", "entity_id", "canonical"]
+    a = sorted(tuple(r) for r in link_mentions(skew_mention_df, ents).select(cols).collect())
+    b = sorted(
+        tuple(r)
+        for r in link_mentions(skew_mention_df, ents, max_broadcast_entities=0)
+        .select(cols)
+        .collect()
+    )
+    assert a == b and len(a) == 2000
+
+
 def test_canonical_auto_scale_path_parity(spark, mention_df):
     """Forcing the above-budget path (LSH candidates + distributed
     pointer-doubling resolve) yields the same surface->entity map as the
