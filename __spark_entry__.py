@@ -528,6 +528,25 @@ def q_fewshot_prompts(spark, sf_dir):
     return fewshot_prompts(qs, ex, k=3)
 
 
+def q_gpt3_completions(spark, sf_dir):
+    """M12 call path: the few-shot prompt table driven through the
+    rate-limited mapInPandas completion operator with the SQL-expressible
+    echo transport, so the driver value-verifies the ENTIRE distributed
+    call plumbing (prompt construction -> per-task transport load ->
+    token bucket -> retry/status columns) against DuckDB
+    (ref variable_extraction_GPT-3.py:215-233)."""
+    from coap_rfc_knowledge_graph_spark.operators.completion import (
+        _echo_transport_loader,
+        complete_prompts,
+    )
+
+    prompts = q_fewshot_prompts(spark, sf_dir)
+    done = complete_prompts(
+        prompts, transport_loader=_echo_transport_loader, requests_per_sec=10_000
+    )
+    return done.select("query_id", "completion", "n_attempts", "status")
+
+
 def q_simhash_native(spark, sf_dir):
     """Engine-exact SimHash near-dup pairs (md5-prefix token hashes,
     pure Catalyst) — the value-verifiable variant of the simhash family
@@ -685,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "literal_overlap": q_literal_overlap,
         "fewshot_prompts": q_fewshot_prompts,
+        "gpt3_completions": q_gpt3_completions,
         "kg_single_rule": q_kg_single_rule,
         "kg_direct_type1": q_kg_direct_type1,
         "kg_direct_type2": q_kg_direct_type2,
@@ -697,6 +717,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": q_kg_entities,
         "kg_contradictions": q_kg_contradictions,
     }
+
+
+# M12 few-shot prompt oracle (shared by fewshot_prompts and the
+# gpt3_completions call-path wrapper)
+_FEWSHOT_SQL = """
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT d.doc_id AS ex_id, substr(d.text, 1, 80) AS ex_sentence,
+             d.source || ' = True;' AS behaviours, iv.iv AS ev
+      FROM documents d JOIN iv ON iv.vec_id = d.doc_id
+      WHERE d.doc_id < 8
+    ),
+    q AS (
+      SELECT d.doc_id AS query_id, substr(d.text, 1, 80) AS sentence, iv.iv AS qv
+      FROM documents d JOIN iv ON iv.vec_id = d.doc_id
+      WHERE d.doc_id >= 100 AND d.doc_id < 116
+    ),
+    scored AS (
+      SELECT q.query_id, q.sentence, ex.ex_id, ex.ex_sentence, ex.behaviours,
+             CAST(list_dot_product(q.qv, ex.ev) AS BIGINT) AS idot
+      FROM q CROSS JOIN ex
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY idot DESC, ex_id DESC) AS rank
+      FROM scored
+    )
+    SELECT query_id,
+           string_agg('Sentence: ' || ex_sentence || chr(10) || 'Behaviours: ' || behaviours || chr(10),
+                      '' ORDER BY rank)
+           || 'Sentence: ' || any_value(sentence) || chr(10) || 'Behaviours: ' AS prompt
+    FROM ranked WHERE rank <= 3
+    GROUP BY query_id
+"""
 
 
 def _pretrain_ctes() -> str:
@@ -1043,39 +1100,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(mtoks, t -> t = '[MASK]')) AS INT) AS n_masked
             FROM masked
         """,
-        "fewshot_prompts": """
-            WITH iv AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
-              FROM embeddings
-            ),
-            ex AS (
-              SELECT d.doc_id AS ex_id, substr(d.text, 1, 80) AS ex_sentence,
-                     d.source || ' = True;' AS behaviours, iv.iv AS ev
-              FROM documents d JOIN iv ON iv.vec_id = d.doc_id
-              WHERE d.doc_id < 8
-            ),
-            q AS (
-              SELECT d.doc_id AS query_id, substr(d.text, 1, 80) AS sentence, iv.iv AS qv
-              FROM documents d JOIN iv ON iv.vec_id = d.doc_id
-              WHERE d.doc_id >= 100 AND d.doc_id < 116
-            ),
-            scored AS (
-              SELECT q.query_id, q.sentence, ex.ex_id, ex.ex_sentence, ex.behaviours,
-                     CAST(list_dot_product(q.qv, ex.ev) AS BIGINT) AS idot
-              FROM q CROSS JOIN ex
-            ),
-            ranked AS (
-              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY idot DESC, ex_id DESC) AS rank
-              FROM scored
-            )
-            SELECT query_id,
-                   string_agg('Sentence: ' || ex_sentence || chr(10) || 'Behaviours: ' || behaviours || chr(10),
-                              '' ORDER BY rank)
-                   || 'Sentence: ' || any_value(sentence) || chr(10) || 'Behaviours: ' AS prompt
-            FROM ranked WHERE rank <= 3
-            GROUP BY query_id
-        """,
+        "fewshot_prompts": _FEWSHOT_SQL,
+        # the M12 call path: echo transport = md5 prefix of the prompt,
+        # so DuckDB reproduces the rate-limited mapInPandas output
+        "gpt3_completions": (
+            "SELECT query_id, substr(md5(prompt), 1, 16) AS completion, "
+            "CAST(1 AS INT) AS n_attempts, 'ok' AS status FROM (" + _FEWSHOT_SQL + ")"
+        ),
         "kg_triples_native": native_ctes + """,
         ranked AS (
           SELECT *, row_number() OVER (PARTITION BY doc_id, sent_id ORDER BY b, e) AS k
