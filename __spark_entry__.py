@@ -528,6 +528,21 @@ def q_fewshot_prompts(spark, sf_dir):
     return fewshot_prompts(qs, ex, k=3)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: 13-token-gram overlap between the
+    corpus and a synthetic eval set carved out of every 50th document
+    (a 400-char substring, so token-aligned interior grams are
+    guaranteed to collide) — GPT-3-style leakage detection, broadcast
+    eval side."""
+    from coap_rfc_knowledge_graph_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), F.substring("text", 100, 400).alias("text")
+    )
+    return decontaminate(docs, ev, n=13)
+
+
 def q_gpt3_completions(spark, sf_dir):
     """M12 call path: the few-shot prompt table driven through the
     rate-limited mapInPandas completion operator with the SQL-expressible
@@ -705,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "literal_overlap": q_literal_overlap,
         "fewshot_prompts": q_fewshot_prompts,
         "gpt3_completions": q_gpt3_completions,
+        "decontaminate": q_decontaminate,
         "kg_single_rule": q_kg_single_rule,
         "kg_direct_type1": q_kg_direct_type1,
         "kg_direct_type2": q_kg_direct_type2,
@@ -1099,6 +1115,42 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(mtoks, ' ') AS masked_text,
                    CAST(len(list_filter(mtoks, t -> t = '[MASK]')) AS INT) AS n_masked
             FROM masked
+        """,
+        "decontaminate": r"""
+            WITH tokd AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+              FROM documents
+            ),
+            gramd AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 13 THEN
+                       list_distinct(list_transform(range(1, len(toks) - 11),
+                         i -> CAST(concat('0x', substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 15)) AS BIGINT)))
+                     ELSE [] END AS ghs
+              FROM tokd
+            ),
+            dg AS (SELECT doc_id, unnest(ghs) AS gh FROM gramd),
+            evtok AS (
+              SELECT doc_id AS eval_id,
+                     list_filter(regexp_split_to_array(lower(substr(text, 100, 400)), '\s+'), t -> t <> '') AS toks
+              FROM documents WHERE doc_id % 50 = 0
+            ),
+            eg AS (
+              SELECT DISTINCT eval_id, unnest(
+                       CASE WHEN len(toks) >= 13 THEN
+                         list_distinct(list_transform(range(1, len(toks) - 11),
+                           i -> CAST(concat('0x', substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 15)) AS BIGINT)))
+                       ELSE [] END) AS gh
+              FROM evtok
+            ),
+            hits AS (
+              SELECT dg.doc_id, count(DISTINCT dg.gh) AS n_hit_grams,
+                     count(DISTINCT eg.eval_id) AS n_eval_docs
+              FROM dg JOIN eg USING (gh) GROUP BY dg.doc_id
+            )
+            SELECT h.doc_id, h.n_hit_grams, CAST(len(g.ghs) AS INT) AS n_grams, h.n_eval_docs
+            FROM hits h JOIN gramd g ON g.doc_id = h.doc_id
         """,
         "fewshot_prompts": _FEWSHOT_SQL,
         # the M12 call path: echo transport = md5 prefix of the prompt,

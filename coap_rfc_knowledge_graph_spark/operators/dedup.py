@@ -507,6 +507,82 @@ def simhash_pairs_native(
     )
 
 
+def token_ngram_hashes_expr(text_col, n: int = 13):
+    """array of DISTINCT n-token-gram hashes of lower(text): whitespace
+    tokens -> sliding n-grams -> 60-bit md5-prefix ints (engine-exact,
+    the same hash family as the *_native operators — DuckDB computes
+    identical values). Empty array when the text has < n tokens."""
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(
+        F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination — the GPT-3-style n-token-gram overlap
+    check between a training corpus and a HELD-OUT eval set (flag every
+    training doc sharing >= ``min_hits`` distinct n-grams with any eval
+    document; the flagged set is what a training run anti-joins away).
+    Distinct from intra-corpus dedup: the contamination side is a
+    different, benchmark-sized table.
+
+    Output: (doc_id, n_hit_grams, n_grams, n_eval_docs) — distinct
+    contaminated grams, the doc's distinct gram count, and how many
+    eval docs it collides with.
+
+    Scale shape: the eval side is benchmark-sized (thousands of rows),
+    so its exploded gram table is BROADCAST — the corpus side is one
+    projection + explode with a broadcast hash join and a per-doc hash
+    aggregate: no shuffle of the 10^12-doc side at all. Set
+    ``broadcast_eval=False`` for a giant eval side (falls back to a
+    shuffle equi-join on the gram hash — uniform md5 keys, no skew).
+    Every value is DuckDB-reproducible (driver entry ``decontaminate``).
+    """
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_ngram_hashes_expr(F.col(text_col), n)).alias("gh"),
+    )
+    eval_grams = eval_docs.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode(token_ngram_hashes_expr(F.col(eval_text_col), n)).alias("gh"),
+    ).distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    hits = (
+        doc_grams.join(eval_grams, on="gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gh").alias("n_hit_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_hit_grams") >= min_hits)
+    )
+    sizes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(token_ngram_hashes_expr(F.col(text_col), n)).alias("n_grams"),
+    )
+    return hits.join(sizes, on="doc_id").select(
+        "doc_id", "n_hit_grams", "n_grams", "n_eval_docs"
+    )
+
+
 def minhash_signatures_native(
     docs: DataFrame,
     num_hashes: int = 8,

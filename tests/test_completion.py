@@ -8,8 +8,6 @@ tested with offline transports."""
 
 from __future__ import annotations
 
-import time
-
 from coap_rfc_knowledge_graph_spark.operators.completion import (
     _echo_transport_loader,
     _parse_query_sentence,
@@ -39,20 +37,38 @@ def test_stub_transport_answers_m13_grammar(spark):
         assert r.completion == "token @ be set to zero %d = True;" % r.query_id
 
 
-def test_rate_limit_enforced_per_task(spark):
-    """8 prompts in ONE partition at 10 req/s must take >= 0.7 s (7
-    inter-call gaps); the same prompts unthrottled finish far faster —
-    the token bucket is real, not decorative."""
+def test_rate_limit_enforced_per_task(spark, tmp_path):
+    """8 prompts in ONE partition at 10 req/s: the span between the
+    first and last TRANSPORT CALL must cover the 7 inter-call gaps
+    (>= 0.7 s). Measured at the call sites themselves (timestamp marker
+    files), not via job wall time — Spark scheduling noise on a shared
+    host would swamp an end-to-end timing comparison."""
+    import os
+
+    mark_dir = str(tmp_path / "marks")
+
+    def stamping_loader():
+        import os as _os
+        import time as _time
+        import uuid as _uuid
+
+        _os.makedirs(mark_dir, exist_ok=True)
+
+        def call(prompt: str) -> str:
+            with open(_os.path.join(mark_dir, _uuid.uuid4().hex), "w") as fh:
+                fh.write(repr(_time.monotonic()))
+            return "ok"
+
+        return call
+
     df = _prompts_df(spark, 8, partitions=1)
-    t0 = time.perf_counter()
-    assert complete_prompts(df, transport_loader=_echo_transport_loader,
-                            requests_per_sec=10_000).count() == 8
-    fast = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    assert complete_prompts(df, transport_loader=_echo_transport_loader,
+    assert complete_prompts(df, transport_loader=stamping_loader,
                             requests_per_sec=10.0).count() == 8
-    slow = time.perf_counter() - t0
-    assert slow >= fast + 0.5, (slow, fast)
+    stamps = sorted(
+        float(open(os.path.join(mark_dir, f)).read()) for f in os.listdir(mark_dir)
+    )
+    assert len(stamps) == 8
+    assert stamps[-1] - stamps[0] >= 0.65, stamps[-1] - stamps[0]
 
 
 def test_retry_then_success_counts_attempts(spark):

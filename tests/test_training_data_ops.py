@@ -288,6 +288,37 @@ def test_multimodal_features(spark):
     assert frames.select(F.min("frame_ts_ms")).collect()[0][0] == 0
 
 
+def test_decontaminate_flags_eval_overlap(spark):
+    """GPT-3-style benchmark decontamination: training docs sharing
+    >= min_hits distinct n-token-grams with the eval set are flagged
+    with exact counts; disjoint docs are not."""
+    from coap_rfc_knowledge_graph_spark.operators.dedup import decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "intro words then " + leak + " trailing text here"),   # contains the leak
+            (1, leak + " and more after"),                              # contains the leak
+            (2, "totally disjoint content with no overlap at all ok"),  # clean
+            (3, "short text"),                                          # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, leak)], "eval_id long, text string")
+    got = {r.doc_id: r for r in decontaminate(docs, ev, n=5).collect()}
+    assert set(got) == {0, 1}
+    # the 8-token eval text has 4 distinct 5-grams; both docs contain all of them
+    assert got[0].n_hit_grams == 4 and got[0].n_eval_docs == 1
+    assert got[1].n_hit_grams == 4
+    assert got[0].n_grams == len(docs.collect()[0].text.split()) - 4
+    # min_hits gates the flag
+    assert decontaminate(docs, ev, n=5, min_hits=5).count() == 0
+    # shuffle-join fallback path agrees with the broadcast path
+    a = sorted(map(tuple, decontaminate(docs, ev, n=5).collect()))
+    b = sorted(map(tuple, decontaminate(docs, ev, n=5, broadcast_eval=False).collect()))
+    assert a == b
+
+
 def test_multimodal_features_content_pinned(spark):
     """VERDICT r3 item 2: media_features was the last contract entry with
     no value-level check. The fake features are deterministic from the
