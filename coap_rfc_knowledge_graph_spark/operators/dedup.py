@@ -553,7 +553,10 @@ def decontaminate(
     aggregate: no shuffle of the 10^12-doc side at all. Set
     ``broadcast_eval=False`` for a giant eval side (falls back to a
     shuffle equi-join on the gram hash — uniform md5 keys, no skew).
-    Every value is DuckDB-reproducible (driver entry ``decontaminate``).
+    The ``n_grams`` annotation recomputes the gram expression ONLY for
+    the (rare) flagged docs — a left-semi prune first, never a second
+    full-corpus gram pass. Every value is DuckDB-reproducible (driver
+    entry ``decontaminate``).
     """
     doc_grams = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -574,7 +577,10 @@ def decontaminate(
         )
         .filter(F.col("n_hit_grams") >= min_hits)
     )
-    sizes = docs.select(
+    flagged = docs.join(
+        hits.select(F.col("doc_id").alias(id_col)), on=id_col, how="leftsemi"
+    )
+    sizes = flagged.select(
         F.col(id_col).alias("doc_id"),
         F.size(token_ngram_hashes_expr(F.col(text_col), n)).alias("n_grams"),
     )
