@@ -553,39 +553,43 @@ def decontaminate(
     aggregate: no shuffle of the 10^12-doc side at all. Set
     ``broadcast_eval=False`` for a giant eval side (falls back to a
     shuffle equi-join on the gram hash — uniform md5 keys, no skew).
-    The ``n_grams`` annotation recomputes the gram expression ONLY for
-    the (rare) flagged docs — a left-semi prune first, never a second
-    full-corpus gram pass. Every value is DuckDB-reproducible (driver
-    entry ``decontaminate``).
+    The gram expression evaluates ONCE per doc: ``n_grams`` is computed
+    on the un-exploded array and rides the explode as a constant column
+    into the same aggregate as the hit counts — no join-back, no second
+    gram pass (the join-back variants re-evaluated either the corpus
+    grams or the hit aggregate twice; Catalyst does not dedupe common
+    subplans). Every value is DuckDB-reproducible (driver entry
+    ``decontaminate``).
     """
-    doc_grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(token_ngram_hashes_expr(F.col(text_col), n)).alias("gh"),
+    # two-step projection so the array materializes once per row
+    # (CollapseProject declines to inline a non-cheap expression into
+    # two consumers), and explode_OUTER + null-drop instead of explode:
+    # plain explode makes InferFiltersFromGenerate push a
+    # size(<gram expr>) > 0 filter BELOW the projection, re-evaluating
+    # the whole md5 gram chain per row (the same optimizer behavior
+    # pinned in mentions._explode_mentions)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), token_ngram_hashes_expr(F.col(text_col), n).alias("ghs")
     )
+    doc_grams = base.select(
+        "doc_id", F.size("ghs").alias("n_grams"), F.explode_outer("ghs").alias("gh")
+    ).where(F.col("gh").isNotNull())
     eval_grams = eval_docs.select(
         F.col(eval_id_col).alias("eval_id"),
         F.explode(token_ngram_hashes_expr(F.col(eval_text_col), n)).alias("gh"),
     ).distinct()
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
-    hits = (
+    return (
         doc_grams.join(eval_grams, on="gh")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("gh").alias("n_hit_grams"),
+            F.max("n_grams").alias("n_grams"),
             F.countDistinct("eval_id").alias("n_eval_docs"),
         )
         .filter(F.col("n_hit_grams") >= min_hits)
-    )
-    flagged = docs.join(
-        hits.select(F.col("doc_id").alias(id_col)), on=id_col, how="leftsemi"
-    )
-    sizes = flagged.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(token_ngram_hashes_expr(F.col(text_col), n)).alias("n_grams"),
-    )
-    return hits.join(sizes, on="doc_id").select(
-        "doc_id", "n_hit_grams", "n_grams", "n_eval_docs"
+        .select("doc_id", "n_hit_grams", "n_grams", "n_eval_docs")
     )
 
 
