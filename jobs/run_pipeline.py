@@ -33,9 +33,18 @@ def main() -> None:
         "repetition gates, exact-dedup keep-first by url) on the pages "
         "table before extraction",
     )
+    ap.add_argument(
+        "--decontaminate",
+        metavar="EVAL_PARQUET",
+        default=None,
+        help="path to a held-out eval table (eval_id, text); training "
+        "pages sharing a 13-token-gram with it are anti-joined away "
+        "before extraction (GPT-3-style benchmark decontamination)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from coap_rfc_knowledge_graph_spark.plans.checkpointing import run_resumable
 
@@ -45,6 +54,14 @@ def main() -> None:
         from coap_rfc_knowledge_graph_spark.operators.text_stats import clean_corpus
 
         pages = clean_corpus(pages, id_col="url").drop("quality_score")
+    if args.decontaminate:
+        from coap_rfc_knowledge_graph_spark.operators.dedup import decontaminate
+
+        ev = spark.read.parquet(args.decontaminate)
+        flagged = decontaminate(pages, ev, id_col="url").select(
+            F.col("doc_id").alias("url")
+        )
+        pages = pages.join(flagged, on="url", how="left_anti")
     store = run_resumable(spark, pages, args.out, url_partitions=args.url_partitions)
     for stage in ["sentences", "mentions", "triples", "entities", "rules", "edges", "contradictions"]:
         m = store.manifest(stage)

@@ -548,3 +548,23 @@ def test_clean_corpus_on_pages_by_url(spark):
     out = clean_corpus(df, id_col="url").collect()
     assert sorted(r.url for r in out) == ["https://a.com/1", "https://c.com/3"]
     assert set(out[0].asDict()) == {"url", "html", "text", "lang", "quality_score"}
+
+
+def test_decontaminate_on_pages_by_url_anti_join(spark):
+    """decontaminate with id_col='url' followed by the left-anti join —
+    the jobs/run_pipeline.py --decontaminate pre-pass shape: pages
+    leaking an eval 13-gram are removed, clean pages survive."""
+    from coap_rfc_knowledge_graph_spark.operators.dedup import decontaminate
+
+    leak = " ".join(f"benchmark question token {i}" for i in range(5))  # 20 tokens
+    rows = [
+        ("https://a.com/1", None, "clean page " + " ".join(f"w{i}" for i in range(30)), "en"),
+        ("https://b.com/2", None, "prefix words " + leak + " suffix words", "en"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string, lang string")
+    ev = spark.createDataFrame([(0, leak)], "eval_id long, text string")
+    flagged = decontaminate(pages, ev, n=13, id_col="url").select(
+        F.col("doc_id").alias("url")
+    )
+    kept = pages.join(flagged, on="url", how="left_anti")
+    assert [r.url for r in kept.collect()] == ["https://a.com/1"]
