@@ -528,6 +528,18 @@ def q_fewshot_prompts(spark, sf_dir):
     return fewshot_prompts(qs, ex, k=3)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Keep-one-per-cluster map: connected components (min-label
+    propagation) over the ngram_jaccard near-dup pairs on the first 100
+    docs — singletons map to themselves, duplicate clusters to their min
+    doc id. The DuckDB oracle computes the same components via a
+    recursive transitive closure."""
+    from coap_rfc_knowledge_graph_spark.operators.dedup import dup_clusters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dup_clusters(docs, q_ngram_jaccard(spark, sf_dir))
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: 13-token-gram overlap between the
     corpus and a synthetic eval set carved out of every 50th document
@@ -721,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fewshot_prompts": q_fewshot_prompts,
         "gpt3_completions": q_gpt3_completions,
         "decontaminate": q_decontaminate,
+        "dup_clusters": q_dup_clusters,
         "kg_single_rule": q_kg_single_rule,
         "kg_direct_type1": q_kg_direct_type1,
         "kg_direct_type2": q_kg_direct_type2,
@@ -1115,6 +1128,40 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(mtoks, ' ') AS masked_text,
                    CAST(len(list_filter(mtoks, t -> t = '[MASK]')) AS INT) AS n_masked
             FROM masked
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(lower(text)) - 4, 1) + 1),
+                       i -> substr(lower(text), CAST(i AS INT), 5))) AS sh
+              FROM documents WHERE doc_id < 100
+            ),
+            sizes AS (SELECT doc_id, len(sh) AS n_sh FROM base),
+            ex AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+              FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            nd AS (
+              SELECT c.doc_a, c.doc_b FROM common c
+              JOIN sizes sa ON c.doc_a = sa.doc_id
+              JOIN sizes sb ON c.doc_b = sb.doc_id
+              WHERE 4 * c.n_common >= (sa.n_sh + sb.n_sh - c.n_common)
+            ),
+            edges AS (
+              SELECT doc_a AS x, doc_b AS y FROM nd
+              UNION SELECT doc_b, doc_a FROM nd
+            ),
+            reach(a, b) AS (
+              SELECT doc_id, doc_id FROM base
+              UNION
+              SELECT r.a, e.y FROM reach r JOIN edges e ON r.b = e.x
+            )
+            SELECT a AS doc_id, MIN(b) AS cluster_id,
+                   CAST(a = MIN(b) AS INT) AS is_keeper
+            FROM reach GROUP BY a
         """,
         "decontaminate": r"""
             WITH tokd AS (

@@ -507,6 +507,73 @@ def simhash_pairs_native(
     )
 
 
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair set -> keep-one-per-
+    cluster map: (doc_id, cluster_id, is_keeper). ``cluster_id`` is the
+    MIN doc id of the component; ``is_keeper`` marks that representative
+    (anti-join the rest away — the standard "collapse near-dup clusters"
+    step after any of this module's pair generators).
+
+    Distributed min-label propagation: every round each doc takes the
+    min of its own label and its neighbours' labels (one equi-join on
+    the symmetric edge list + a min aggregate), with the label table
+    localCheckpoint-ed per round to truncate the iterative lineage.
+    Converges in O(cluster diameter) rounds — near-dup clusters are
+    shallow (dup graphs are dense blobs, not paths), so this beats the
+    O(log n)-round pointer-doubling used by ``linking.
+    resolve_greedy_distributed`` on its constant factor (1 join/round vs
+    a self-join of the full pointer table). Semantics differ from
+    resolve_greedy deliberately: components, not the reference's
+    order-dependent chained overwrites.
+
+    Scale: per round, one shuffle of the edge list (bounded by the pair
+    generators' banding caps) + one of the label table. ``max_rounds``
+    bounds a pathological path-graph; the loop exits early on
+    convergence (isEmpty on the changed set — cheap, it short-circuits).
+    """
+    edges_fwd = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    edges = edges_fwd.union(
+        edges_fwd.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).localCheckpoint(eager=True)
+    # label starts as the doc's own id — type-generic (string urls order
+    # lexicographically, same min-label semantics)
+    labels = docs.select(
+        F.col(id_col).alias("x"), F.col(id_col).alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels.select(F.col("x").alias("y"), F.col("lbl").alias("nl")), on="y")
+            .groupBy("x")
+            .agg(F.min("nl").alias("nmin"))
+        )
+        new = (
+            labels.join(nbr_min, on="x", how="left")
+            .select("x", F.least("lbl", F.coalesce("nmin", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.select(F.col("x").alias("x0"), F.col("lbl").alias("old")),
+                     new["x"] == F.col("x0"))
+            .filter(F.col("lbl") != F.col("old"))
+        )
+        stable = changed.isEmpty()
+        labels = new
+        if stable:
+            break
+    return labels.select(
+        F.col("x").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("x") == F.col("lbl")).cast("int").alias("is_keeper"),
+    )
+
+
 def token_ngram_hashes_expr(text_col, n: int = 13):
     """array of DISTINCT n-token-gram hashes of lower(text): whitespace
     tokens -> sliding n-grams -> 60-bit md5-prefix ints (engine-exact,

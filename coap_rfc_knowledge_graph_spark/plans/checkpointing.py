@@ -78,7 +78,9 @@ class StageStore:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
+        t0 = time.time()
         writer.parquet(data_dir)
+        compute_sec = time.time() - t0  # plan execution + parquet commit
 
         spark = df.sparkSession
         committed = spark.read.parquet(data_dir)
@@ -108,6 +110,9 @@ class StageStore:
             # order- AND partitioning-insensitive multiset digest
             "table_hash": int(sum(p["content_hash"] for p in partitions)),
             "partitions": partitions,
+            # metrics: wall time of the stage's plan execution + parquet
+            # commit (the audit pass below is bookkeeping, not stage cost)
+            "compute_sec": round(compute_sec, 3),
             "written_at": time.time(),
             "complete": True,
         }

@@ -568,3 +568,45 @@ def test_decontaminate_on_pages_by_url_anti_join(spark):
     )
     kept = pages.join(flagged, on="url", how="left_anti")
     assert [r.url for r in kept.collect()] == ["https://a.com/1"]
+
+
+def test_dup_clusters_components_and_keepers(spark):
+    """Min-label propagation must find full components across multi-hop
+    chains (a path graph forces several propagation rounds), map
+    singletons to themselves, and mark exactly one keeper per cluster."""
+    from coap_rfc_knowledge_graph_spark.operators.dedup import dup_clusters
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(10)], "doc_id long, text string")
+    # component {0..4} as a path (4 hops), component {7,8}, singletons 5,6,9
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (7, 8)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: (r.cluster_id, r.is_keeper) for r in dup_clusters(docs, pairs).collect()}
+    assert got == {
+        0: (0, 1), 1: (0, 0), 2: (0, 0), 3: (0, 0), 4: (0, 0),
+        5: (5, 1), 6: (6, 1), 7: (7, 1), 8: (7, 0), 9: (9, 1),
+    }
+    # keep-one composition: anti-join the non-keepers away
+    kept = docs.join(
+        dup_clusters(docs, pairs).filter(F.col("is_keeper") == 0).select(
+            F.col("doc_id")), on="doc_id", how="left_anti"
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 5, 6, 7, 9]
+
+
+def test_dup_clusters_string_ids(spark):
+    from coap_rfc_knowledge_graph_spark.operators.dedup import dup_clusters
+
+    docs = spark.createDataFrame(
+        [(f"https://x/{c}",) for c in "abcd"], "url string"
+    )
+    pairs = spark.createDataFrame(
+        [("https://x/b", "https://x/c")], "doc_a string, doc_b string"
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs, id_col="url").collect()}
+    assert got == {
+        "https://x/a": "https://x/a",
+        "https://x/b": "https://x/b",
+        "https://x/c": "https://x/b",
+        "https://x/d": "https://x/d",
+    }
