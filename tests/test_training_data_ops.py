@@ -610,3 +610,41 @@ def test_dup_clusters_string_ids(spark):
         "https://x/c": "https://x/b",
         "https://x/d": "https://x/d",
     }
+
+
+def test_dup_clusters_matches_union_find_on_random_graph(spark):
+    """Seeded random graph (40 nodes, 45 edges): the distributed
+    min-label propagation must produce the identical component map as an
+    in-process union-find — the independent-oracle check for arbitrary
+    component shapes (cycles, stars, chains)."""
+    import numpy as np
+
+    from coap_rfc_knowledge_graph_spark.operators.dedup import dup_clusters
+
+    rng = np.random.Generator(np.random.Philox(key=77))
+    n = 40
+    edges = {tuple(sorted(p)) for p in rng.integers(0, n, size=(45, 2)) if p[0] != p[1]}
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical component id = min member
+    comp: dict[int, list[int]] = {}
+    for x in range(n):
+        comp.setdefault(find(x), []).append(x)
+    expected = {x: min(members) for r, members in comp.items() for x in members}
+
+    docs = spark.createDataFrame([(i, "t") for i in range(n)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in sorted(edges)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs).collect()}
+    assert got == expected
