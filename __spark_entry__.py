@@ -691,6 +691,89 @@ def q_minhash_native(spark, sf_dir):
     return minhash_signatures_native(docs, num_hashes=8, k=8)
 
 
+def _synth_weburl(docs: DataFrame) -> DataFrame:
+    """Deterministic Common-Crawl-shaped URLs over ``documents`` for the
+    weburl_* contract family (mirrored by ``_WEBURL_CTE``): slot =
+    doc_id % 400 makes doc_ids 400+ re-crawls of slot pages; odd ids
+    land on one head domain holding 50% of the corpus; mixed-case
+    hosts, a redundant :443, trailing slashes, utm params, and
+    fragments exercise every normalization rule. Everything the
+    normalizer strips varies between a page's crawls ONLY in
+    strip-away parts, so re-crawls unify to one norm_url."""
+    d = F.col("doc_id")
+    slot = d % 400
+    host_raw = F.when(d % 2 == 1, F.lit("Hub.example.org")).otherwise(
+        F.concat(
+            F.when(d % 3 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
+            F.lit(".example.org"),
+        )
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host_raw,
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/d/"),
+        slot.cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(d % 2 == 0, F.lit("utm_source=feed&page=")).otherwise(F.lit("page=")),
+        (slot % 7).cast("string"),
+        F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return docs.withColumn("url", url)
+
+
+def q_weburl_normalize(spark, sf_dir):
+    """URL parse + canonicalization (RefinedWeb-style first pass): case
+    folding, default-port/fragment/tracking-param stripping, trailing
+    slash collapse — one codegen projection, zero shuffles."""
+    from coap_rfc_knowledge_graph_spark.operators.webtext import normalize_urls, url_parts
+
+    pages = _synth_weburl(_t(spark, sf_dir, "documents"))
+    return normalize_urls(url_parts(pages)).select("doc_id", "url", "norm_url", "host")
+
+
+def q_weburl_latest_snapshot(spark, sf_dir):
+    """Re-crawl collapse: one row per canonical URL, the latest crawl's
+    payload plus n_crawls — a single hash aggregate (max over packed
+    structs), no window/sort, the scale shape for snapshot dedup."""
+    from coap_rfc_knowledge_graph_spark.operators.webtext import latest_snapshot, normalize_urls
+
+    pages = normalize_urls(_synth_weburl(_t(spark, sf_dir, "documents")))
+    return latest_snapshot(pages, "norm_url", order_cols=("doc_id",), payload_cols=("url",))
+
+
+def q_weburl_host_stats(spark, sf_dir):
+    """Per-domain corpus statistics over canonical URLs (doc count,
+    total chars, distinct pages) — one host-keyed aggregate."""
+    from coap_rfc_knowledge_graph_spark.operators.webtext import (
+        host_stats,
+        normalize_urls,
+        url_parts,
+    )
+
+    pages = normalize_urls(url_parts(_synth_weburl(_t(spark, sf_dir, "documents"))))
+    return host_stats(pages, url_key_col="norm_url").select(
+        "host", "n_docs", "total_chars", "n_pages"
+    )
+
+
+def q_weburl_domain_filter(spark, sf_dir):
+    """Blocklist + head-domain cap: drops two blocklisted hosts by a
+    literal IN filter, then every domain holding >25% of the remaining
+    corpus via a broadcast anti-join against the (≤4-row) over-cap host
+    list — the head domain (50% of docs by construction) goes."""
+    from coap_rfc_knowledge_graph_spark.operators.webtext import domain_filter, url_parts
+
+    pages = url_parts(_synth_weburl(_t(spark, sf_dir, "documents")))
+    kept = domain_filter(
+        pages,
+        blocklist=("src0.example.org", "src7.example.org"),
+        head_cap_frac=0.25,
+    )
+    return kept.select("doc_id", "host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "modal_filter": q_modal_filter,
@@ -734,6 +817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpt3_completions": q_gpt3_completions,
         "decontaminate": q_decontaminate,
         "dup_clusters": q_dup_clusters,
+        "weburl_normalize": q_weburl_normalize,
+        "weburl_latest_snapshot": q_weburl_latest_snapshot,
+        "weburl_host_stats": q_weburl_host_stats,
+        "weburl_domain_filter": q_weburl_domain_filter,
         "kg_single_rule": q_kg_single_rule,
         "kg_direct_type1": q_kg_direct_type1,
         "kg_direct_type2": q_kg_direct_type2,
@@ -782,6 +869,55 @@ _FEWSHOT_SQL = """
            || 'Sentence: ' || any_value(sentence) || chr(10) || 'Behaviours: ' AS prompt
     FROM ranked WHERE rank <= 3
     GROUP BY query_id
+"""
+
+
+# Shared CTE chain for the weburl_* oracles — byte-identical mirror of
+# _synth_weburl (URL construction) and operators/webtext.py's
+# norm_url_expr (canonicalization). The regex patterns are restricted
+# to constructs with identical semantics in Java regex and RE2.
+_WEBURL_CTE = r"""
+    u AS (
+      SELECT doc_id, text,
+             'https://' ||
+             CASE WHEN doc_id % 2 = 1 THEN 'Hub.example.org'
+                  ELSE (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+                       || '.example.org' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+             '/d/' || CAST(doc_id % 400 AS VARCHAR) ||
+             CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+             '?' ||
+             CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&page=' ELSE 'page=' END ||
+             CAST((doc_id % 400) % 7 AS VARCHAR) ||
+             CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, text, url,
+             lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS auth,
+             regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+             regexp_extract(url, '\?([^#]*)', 1) AS rawquery
+      FROM u
+    ),
+    normed AS (
+      SELECT doc_id, text, url,
+             lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]+)', 1)) AS host,
+             scheme || '://' || lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]+)', 1)) ||
+             CASE WHEN regexp_extract(auth, ':([0-9]+)$', 1) = ''
+                       OR (scheme = 'https' AND regexp_extract(auth, ':([0-9]+)$', 1) = '443')
+                       OR (scheme = 'http' AND regexp_extract(auth, ':([0-9]+)$', 1) = '80')
+                  THEN '' ELSE ':' || regexp_extract(auth, ':([0-9]+)$', 1) END ||
+             CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                  ELSE regexp_replace(rawpath, '/+$', '') END ||
+             CASE WHEN array_to_string(list_filter(string_split(rawquery, '&'),
+                        x -> NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid)=')), '&') = ''
+                  THEN ''
+                  ELSE '?' || array_to_string(list_filter(string_split(rawquery, '&'),
+                        x -> NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid)=')), '&') END
+             AS norm_url
+      FROM parts
+    )
 """
 
 
@@ -1162,6 +1298,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS doc_id, MIN(b) AS cluster_id,
                    CAST(a = MIN(b) AS INT) AS is_keeper
             FROM reach GROUP BY a
+        """,
+        "weburl_normalize": f"""
+            WITH {_WEBURL_CTE}
+            SELECT doc_id, url, norm_url, host FROM normed
+        """,
+        "weburl_latest_snapshot": f"""
+            WITH {_WEBURL_CTE},
+            r AS (
+              SELECT norm_url, doc_id, url,
+                     count(*) OVER (PARTITION BY norm_url) AS n_crawls,
+                     row_number() OVER (PARTITION BY norm_url ORDER BY doc_id DESC) AS rn
+              FROM normed
+            )
+            SELECT norm_url, doc_id, url, n_crawls FROM r WHERE rn = 1
+        """,
+        "weburl_host_stats": f"""
+            WITH {_WEBURL_CTE}
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(count(DISTINCT norm_url) AS BIGINT) AS n_pages
+            FROM normed GROUP BY host
+        """,
+        "weburl_domain_filter": f"""
+            WITH {_WEBURL_CTE},
+            b AS (
+              SELECT doc_id, host FROM normed
+              WHERE host NOT IN ('src0.example.org', 'src7.example.org')
+            ),
+            c AS (SELECT host, count(*) AS n FROM b GROUP BY host),
+            t AS (SELECT sum(n) AS tot FROM c),
+            over_cap AS (SELECT c.host FROM c, t WHERE c.n > 0.25 * t.tot)
+            SELECT doc_id, host FROM b
+            WHERE host NOT IN (SELECT host FROM over_cap)
         """,
         "decontaminate": r"""
             WITH tokd AS (

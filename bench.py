@@ -177,6 +177,29 @@ def main() -> None:
             repeat=2,
         )
 
+        # composed URL-curation ingest pre-pass over the weburl contract
+        # corpus (re-crawls + a 50% head domain, so the snapshot collapse
+        # and the head cap both do real work)
+        import __spark_entry__ as entrymod
+
+        from coap_rfc_knowledge_graph_spark.operators.webtext import curate_urls
+
+        wpages = (
+            entrymod._synth_weburl(docs)
+            .withColumn(
+                "warc_ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+            )
+            .withColumn("html", F.lit(None).cast("binary"))
+            .select("url", "warc_ts", "html", "text", "lang")
+        )
+        timed(
+            "url_curation",
+            lambda: curate_urls(
+                wpages, blocklist=("src0.example.org",), head_cap_frac=0.25
+            ).count(),
+            repeat=2,
+        )
+
     queries_out = dict(timings)
     queries_out["docs_per_sec"] = round(n_docs / flagship, 2) if flagship else 0.0
     queries_out["n_docs"] = n_docs

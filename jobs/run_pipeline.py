@@ -34,6 +34,26 @@ def main() -> None:
         "table before extraction",
     )
     ap.add_argument(
+        "--url-curation",
+        action="store_true",
+        help="canonicalize URLs, drop blocklisted/over-cap domains, and "
+        "collapse re-crawls to the latest snapshot before any text op "
+        "(RefinedWeb/CCNet-style ingest pre-pass)",
+    )
+    ap.add_argument(
+        "--domain-blocklist",
+        metavar="HOSTS_FILE",
+        default=None,
+        help="newline-delimited host blocklist for --url-curation",
+    )
+    ap.add_argument(
+        "--head-cap-frac",
+        type=float,
+        default=None,
+        help="with --url-curation: drop any domain holding more than "
+        "this fraction of the (post-blocklist) corpus",
+    )
+    ap.add_argument(
         "--decontaminate",
         metavar="EVAL_PARQUET",
         default=None,
@@ -50,6 +70,14 @@ def main() -> None:
 
     spark = SparkSession.builder.appName(args.app_name).getOrCreate()
     pages = spark.read.parquet(args.pages)
+    if args.url_curation:
+        from coap_rfc_knowledge_graph_spark.operators.webtext import curate_urls
+
+        blocklist: tuple[str, ...] = ()
+        if args.domain_blocklist:
+            with open(args.domain_blocklist, encoding="utf-8") as fh:
+                blocklist = tuple(ln.strip() for ln in fh if ln.strip())
+        pages = curate_urls(pages, blocklist=blocklist, head_cap_frac=args.head_cap_frac)
     if args.clean:
         from coap_rfc_knowledge_graph_spark.operators.text_stats import clean_corpus
 

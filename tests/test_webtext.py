@@ -1,0 +1,205 @@
+"""URL curation operators (operators/webtext.py): parse/normalize
+semantics on handcrafted edge cases, snapshot collapse, domain stats
+and filtering, plus the plan shapes the docstrings claim (zero-shuffle
+projection; broadcast anti-join for the head cap)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from coap_rfc_knowledge_graph_spark.operators.webtext import (
+    domain_filter,
+    host_stats,
+    latest_snapshot,
+    norm_url_expr,
+    normalize_urls,
+    url_parts,
+)
+
+
+def _norm(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(norm_url_expr(F.col("url")).alias("n")).head()["n"]
+
+
+def test_url_parts_components(spark):
+    df = spark.createDataFrame(
+        [("https://User:Pw@WWW.Example.ORG:8443/A/b/?x=1&y=2#Frag",)], "url string"
+    )
+    r = url_parts(df).head()
+    assert r.scheme == "https"
+    assert r.host == "www.example.org"  # userinfo stripped, case folded
+    assert r.port == "8443"
+    assert r.path == "/A/b/"  # path case preserved
+    assert r.query == "x=1&y=2"
+    assert r.fragment == "Frag"
+
+
+def test_url_parts_absent_components_are_empty(spark):
+    r = url_parts(spark.createDataFrame([("http://example.com",)], "url string")).head()
+    assert (r.port, r.path, r.query, r.fragment) == ("", "", "", "")
+    assert r.host == "example.com"
+
+
+def test_normalize_default_ports_and_fragment(spark):
+    assert _norm(spark, "HTTPS://Example.COM:443/a#frag") == "https://example.com/a"
+    assert _norm(spark, "http://example.com:80/") == "http://example.com/"
+    # non-default port survives
+    assert _norm(spark, "https://example.com:8443/a") == "https://example.com:8443/a"
+
+
+def test_normalize_tracking_params(spark):
+    # first / middle / last position, non-tracking params keep order
+    assert (
+        _norm(spark, "https://e.com/p?utm_source=x&a=1&fbclid=z&b=2&gclid=q")
+        == "https://e.com/p?a=1&b=2"
+    )
+    # all-tracking query -> no '?'
+    assert _norm(spark, "https://e.com/p?utm_campaign=x") == "https://e.com/p"
+    # utm-like VALUES are not keys and survive
+    assert _norm(spark, "https://e.com/p?q=utm_source=x") == "https://e.com/p?q=utm_source=x"
+
+
+def test_normalize_paths(spark):
+    assert _norm(spark, "https://e.com") == "https://e.com/"
+    assert _norm(spark, "https://e.com/a/b///") == "https://e.com/a/b"
+    assert _norm(spark, "https://e.com/") == "https://e.com/"
+
+
+def test_latest_snapshot_keeps_max_and_counts(spark):
+    rows = [
+        ("u1", 3, "u1-a", "t3"),
+        ("u1", 7, "u1-b", "t7"),
+        ("u1", 5, "u1-c", "t5"),
+        ("u2", 1, "u2-a", "t1"),
+    ]
+    df = spark.createDataFrame(rows, "norm_url string, crawl long, url string, text string")
+    out = {
+        r.norm_url: r
+        for r in latest_snapshot(
+            df, "norm_url", order_cols=("crawl",), payload_cols=("url", "text")
+        ).collect()
+    }
+    assert out["u1"].crawl == 7 and out["u1"].url == "u1-b" and out["u1"].text == "t7"
+    assert out["u1"].n_crawls == 3
+    assert out["u2"].crawl == 1 and out["u2"].n_crawls == 1
+
+
+def test_host_stats(spark):
+    rows = [("a.com", "u1", "xy"), ("a.com", "u1", "zzz"), ("b.com", "u2", "q")]
+    df = spark.createDataFrame(rows, "host string, norm_url string, text string")
+    out = {r.host: r for r in host_stats(df, url_key_col="norm_url").collect()}
+    assert out["a.com"].n_docs == 2 and out["a.com"].total_chars == 5
+    assert out["a.com"].n_pages == 1
+    assert out["b.com"].n_docs == 1 and out["b.com"].n_pages == 1
+
+
+def test_domain_filter_blocklist_and_head_cap(spark):
+    # 10 docs: 6 on head.com, 2 on a.com, 1 each on b.com / blocked.com
+    rows = (
+        [("head.com", i) for i in range(6)]
+        + [("a.com", 10), ("a.com", 11), ("b.com", 20), ("blocked.com", 30)]
+    )
+    df = spark.createDataFrame(rows, "host string, doc_id long")
+    kept = domain_filter(df, blocklist=("blocked.com",), head_cap_frac=0.5)
+    hosts = {r.host for r in kept.collect()}
+    # post-blocklist corpus is 9 docs; head.com holds 6/9 > 0.5 -> dropped
+    assert hosts == {"a.com", "b.com"}
+    # exactly-at-cap is NOT dropped (strict >): a.com at 2/3 of remaining
+    kept2 = domain_filter(df, blocklist=("blocked.com", "head.com"), head_cap_frac=2 / 3)
+    assert {r.host for r in kept2.collect()} == {"a.com", "b.com"}
+
+
+def _plan_str(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_normalize_is_zero_shuffle_and_filter_has_broadcast(spark):
+    df = spark.createDataFrame([("https://e.com/a?utm_source=1",)], "url string")
+    p = _plan_str(normalize_urls(url_parts(df)))
+    assert "Exchange" not in p, p
+
+    data = spark.createDataFrame([("h%d.com" % (i % 3), i) for i in range(30)], "host string, doc_id long")
+    p2 = _plan_str(domain_filter(data, head_cap_frac=0.4))
+    assert "BroadcastExchange" in p2, p2
+
+
+def test_curate_urls_end_to_end(spark):
+    """Pages-shaped input: re-crawls collapse to the latest snapshot
+    under the canonical url, blocklist and head cap apply, and the
+    output keeps the five-column pages schema."""
+    import datetime
+
+    from coap_rfc_knowledge_graph_spark.operators.webtext import curate_urls
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    rows = [
+        # one page, three crawls with cosmetic URL variation
+        ("https://E.com:443/a/?utm_source=x", ts(1), None, "old", "en"),
+        ("https://e.com/a", ts(3), None, "new", "en"),
+        ("https://e.com/a#frag", ts(2), None, "mid", "en"),
+        ("https://other.com/b", ts(1), None, "b", "en"),
+        ("https://blocked.com/c", ts(1), None, "c", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = curate_urls(pages, blocklist=("blocked.com",))
+    assert out.columns == ["url", "warc_ts", "html", "text", "lang"]
+    got = {r.url: r for r in out.collect()}
+    assert set(got) == {"https://e.com/a", "https://other.com/b"}
+    assert got["https://e.com/a"].text == "new"  # latest crawl wins
+    assert got["https://e.com/a"].warc_ts == ts(3)
+
+    # head cap: e.com holds 3/4 of post-blocklist crawl rows -> capped at 0.5
+    capped = curate_urls(pages, blocklist=("blocked.com",), head_cap_frac=0.5)
+    assert {r.url for r in capped.collect()} == {"https://other.com/b"}
+
+
+def test_curate_urls_drops_malformed(spark):
+    """Null / relative / scheme-less URLs are dropped, not merged into
+    one degenerate page (all of them normalize to the same key)."""
+    from coap_rfc_knowledge_graph_spark.operators.webtext import curate_urls
+
+    rows = [
+        (None, None, None, "a", "en"),
+        ("", None, None, "b", "en"),
+        ("no-scheme.com/x", None, None, "c", "en"),
+        ("https://ok.com/x", None, None, "d", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = curate_urls(pages).collect()
+    assert [r.url for r in out] == ["https://ok.com/x"]
+    # opt-out keeps the degenerate buckets: ok.com + ':///' (the '' and
+    # scheme-less rows merged) + the null-url group
+    assert curate_urls(pages, drop_invalid=False).count() == 3
+
+
+def test_weburl_contract_round_trip(spark):
+    """The synthesized contract corpus behaves as documented: re-crawls
+    unify (100 pages get 2 crawls at 500 docs), the head domain holds
+    half the corpus, and the filter output is the 9 surviving hosts."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    snap = entry.q_weburl_latest_snapshot(spark, sf)
+    agg = snap.groupBy("n_crawls").count().collect()
+    by = {r.n_crawls: r["count"] for r in agg}
+    assert by == {1: 300, 2: 100}
+    stats = {r.host: r.n_docs for r in entry.q_weburl_host_stats(spark, sf).collect()}
+    assert stats["hub.example.org"] == 250
+    kept = entry.q_weburl_domain_filter(spark, sf)
+    hosts = {r.host for r in kept.collect()}
+    assert len(hosts) == 9 and "hub.example.org" not in hosts and "src0.example.org" not in hosts
