@@ -758,6 +758,27 @@ def q_weburl_host_stats(spark, sf_dir):
     )
 
 
+def q_weburl_registered_domain(spark, sf_dir):
+    """Public-suffix-aware registrable-domain extraction (the key
+    domain-level grouping should use — subdomains otherwise dodge the
+    head cap): hosts synthesized across 1/2/3-label and two-level-suffix
+    shapes; pure split+element_at+IN projection."""
+    from coap_rfc_knowledge_graph_spark.operators.webtext import registered_domain_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    d, s = F.col("doc_id"), F.col("source")
+    host = (
+        F.when(d % 5 == 0, F.concat(F.lit("www.news."), s, F.lit(".co.uk")))
+        .when(d % 5 == 1, F.concat(F.lit("cdn."), s, F.lit(".example.org")))
+        .when(d % 5 == 2, F.concat(s, F.lit(".com")))
+        .when(d % 5 == 3, F.concat(F.lit("a.b."), s, F.lit(".com.au")))
+        .otherwise(F.lit("localhost"))
+    )
+    return docs.select("doc_id", host.alias("host")).withColumn(
+        "registered_domain", registered_domain_expr(F.col("host"))
+    )
+
+
 def q_weburl_domain_filter(spark, sf_dir):
     """Blocklist + head-domain cap: drops two blocklisted hosts by a
     literal IN filter, then every domain holding >25% of the remaining
@@ -821,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weburl_latest_snapshot": q_weburl_latest_snapshot,
         "weburl_host_stats": q_weburl_host_stats,
         "weburl_domain_filter": q_weburl_domain_filter,
+        "weburl_registered_domain": q_weburl_registered_domain,
         "kg_single_rule": q_kg_single_rule,
         "kg_direct_type1": q_kg_direct_type1,
         "kg_direct_type2": q_kg_direct_type2,
@@ -910,15 +932,43 @@ _WEBURL_CTE = r"""
                   THEN '' ELSE ':' || regexp_extract(auth, ':([0-9]+)$', 1) END ||
              CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
                   ELSE regexp_replace(rawpath, '/+$', '') END ||
-             CASE WHEN array_to_string(list_filter(string_split(rawquery, '&'),
-                        x -> NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid)=')), '&') = ''
+             CASE WHEN coalesce(array_to_string(list_filter(string_split(rawquery, '&'),
+                        x -> NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid)=')), '&'), '') = ''
                   THEN ''
-                  ELSE '?' || array_to_string(list_filter(string_split(rawquery, '&'),
-                        x -> NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid)=')), '&') END
+                  ELSE '?' || coalesce(array_to_string(list_filter(string_split(rawquery, '&'),
+                        x -> NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid)=')), '&'), '') END
              AS norm_url
       FROM parts
     )
 """
+
+
+def _registered_domain_sql() -> str:
+    """DuckDB mirror of ``registered_domain_expr`` over the same
+    synthesized host shapes; the suffix list is shared with the Spark
+    side (single source of truth)."""
+    from coap_rfc_knowledge_graph_spark.operators.webtext import TWO_LEVEL_SUFFIXES
+
+    suffixes = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN 'www.news.' || source || '.co.uk'
+                   WHEN 1 THEN 'cdn.' || source || '.example.org'
+                   WHEN 2 THEN source || '.com'
+                   WHEN 3 THEN 'a.b.' || source || '.com.au'
+                   ELSE 'localhost' END AS host
+          FROM documents
+        ),
+        p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM h)
+        SELECT doc_id, host,
+               CASE WHEN len(parts) <= 2 THEN host
+                    WHEN parts[-2] || '.' || parts[-1] IN ({suffixes})
+                         THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+                    ELSE parts[-2] || '.' || parts[-1] END AS registered_domain
+        FROM p
+    """
 
 
 def _pretrain_ctes() -> str:
@@ -1321,6 +1371,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT norm_url) AS BIGINT) AS n_pages
             FROM normed GROUP BY host
         """,
+        "weburl_registered_domain": _registered_domain_sql(),
         "weburl_domain_filter": f"""
             WITH {_WEBURL_CTE},
             b AS (

@@ -38,6 +38,39 @@ _PORT_PAT = ":([0-9]+)$"
 TRACKING_PARAM_PAT = "^(utm_[a-z]+|gclid|fbclid)="
 
 
+# Two-level public suffixes for registered-domain extraction — a small
+# built-in subset of the Mozilla Public Suffix List covering the common
+# ccTLD second-level registries; swap in the full list (a ~10k-entry
+# isin / broadcast map) for production. Kept sorted for determinism.
+TWO_LEVEL_SUFFIXES = (
+    "ac.uk", "co.in", "co.jp", "co.kr", "co.nz", "co.uk", "co.za",
+    "com.au", "com.br", "com.cn", "com.mx", "com.sg", "com.tr",
+    "gov.uk", "ne.jp", "net.au", "or.jp", "org.au", "org.uk",
+)
+
+
+def registered_domain_expr(host_col: Column) -> Column:
+    """Registrable domain of a host (``a.b.example.co.uk`` ->
+    ``example.co.uk``; ``sub.example.org`` -> ``example.org``): the last
+    two labels, or three when the last two form a known two-level public
+    suffix. Domain-level grouping (stats, caps, dedup keys) should key
+    on this, not the raw host — one site's subdomains otherwise dodge
+    the head cap. Pure codegen (split + element_at + literal IN)."""
+    parts = F.split(host_col, r"\.")
+    n = F.size(parts)
+    # F.get (0-based, null on out-of-bounds) rather than element_at:
+    # element_at THROWS on out-of-bounds under ANSI mode (Spark 4
+    # default), and branch laziness is not a contract worth betting on
+    # once common-subexpression elimination enters the picture
+    last2 = F.concat_ws(".", F.get(parts, n - 2), F.get(parts, n - 1))
+    last3 = F.concat_ws(".", F.get(parts, n - 3), F.get(parts, n - 2), F.get(parts, n - 1))
+    return (
+        F.when(n <= 2, host_col)
+        .when(last2.isin(*TWO_LEVEL_SUFFIXES) & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
 def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Decompose ``url_col`` into scheme/host/port/path/query/fragment
     columns (empty string where the component is absent). One codegen
@@ -181,6 +214,7 @@ def curate_urls(
     blocklist: tuple[str, ...] = (),
     head_cap_frac: float | None = None,
     drop_invalid: bool = True,
+    cap_by_registered_domain: bool = False,
 ) -> DataFrame:
     """The composed ingest pre-pass for a Common-Crawl-style pages table
     (url, warc_ts, html, text, lang): canonicalize URLs, drop
@@ -202,8 +236,18 @@ def curate_urls(
         # arbitrary survivor) in the snapshot collapse — drop them
         # instead; curation semantics, and the loss is explicit
         p = p.filter(F.col("host") != "")
-    if blocklist or head_cap_frac is not None:
-        p = domain_filter(p, blocklist=tuple(blocklist), head_cap_frac=head_cap_frac)
+    if blocklist:
+        p = domain_filter(p, blocklist=tuple(blocklist))
+    if head_cap_frac is not None:
+        # cap on the registrable domain when asked — a site's subdomains
+        # (cdn.x.com, www.x.com, ...) otherwise each get their own cap
+        cap_col = "host"
+        if cap_by_registered_domain:
+            p = p.withColumn("__rd", registered_domain_expr(F.col("host")))
+            cap_col = "__rd"
+        p = domain_filter(p, host_col=cap_col, head_cap_frac=head_cap_frac)
+        if cap_by_registered_domain:
+            p = p.drop("__rd")
     snap = latest_snapshot(
         p, "norm_url", order_cols=("warc_ts", "url"), payload_cols=("html", "text", "lang")
     )

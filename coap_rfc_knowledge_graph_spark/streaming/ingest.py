@@ -234,3 +234,80 @@ def stream_near_dup_candidates(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_latest_snapshot(
+    keyed_stream: DataFrame,
+    key_col: str = "norm_url",
+    ts_col: str = "crawl_ts",
+    payload_cols: tuple[str, ...] = ("url", "text"),
+) -> DataFrame:
+    """Custom stateful operator: cross-micro-batch latest-snapshot
+    upserts — the streaming face of ``operators.webtext.
+    latest_snapshot`` (same lexicographic (ts, payload) winner rule).
+
+    Input: a stream already keyed by canonical URL (run
+    ``webtext.normalize_urls`` on the page stream first) with a NUMERIC
+    crawl timestamp and string payload columns. For every micro-batch
+    that touches a key, emits ONE row with the best-so-far snapshot
+    (max by ``(ts, *payloads)`` across ALL batches) and the cumulative
+    ``n_crawls`` — a change-log of snapshot upgrades. The LAST emission
+    per key always equals the batch ``latest_snapshot`` over the union
+    of all micro-batches (the parity test pins this), so a downstream
+    ``foreachBatch`` upsert keyed on ``key_col`` maintains the exact
+    batch table incrementally.
+
+    Scale: state is one (ts, payloads, count) row per DISTINCT
+    canonical URL — what any cross-stream snapshot collapse must hold;
+    shuffle is on the canonical URL (uniform at web scale).
+    """
+    import pandas as pd
+
+    out_fields = ", ".join(
+        [f"{key_col} string", f"{ts_col} long"]
+        + [f"{c} string" for c in payload_cols]
+        + ["n_crawls long"]
+    )
+    state_fields = ", ".join(
+        ["best_ts long"]
+        + [f"p{i} string" for i in range(len(payload_cols))]
+        + ["n long"]
+    )
+
+    def upgrade(key, pdfs, state):
+        if state.exists:
+            stored = state.get
+            best = (stored[0], *stored[1 : 1 + len(payload_cols)])
+            n = stored[-1]
+        else:
+            best, n = None, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            sub = pdf.sort_values([ts_col, *payload_cols], kind="mergesort")
+            cand_row = sub.iloc[-1]
+            cand = (int(cand_row[ts_col]), *(str(cand_row[c]) for c in payload_cols))
+            if best is None or cand > best:
+                best = cand
+        if best is None:
+            return
+        state.update((best[0], *best[1:], n))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                ts_col: [best[0]],
+                **{c: [v] for c, v in zip(payload_cols, best[1:])},
+                "n_crawls": [n],
+            }
+        )
+
+    return keyed_stream.select(key_col, ts_col, *payload_cols).groupBy(
+        key_col
+    ).applyInPandasWithState(
+        upgrade,
+        outputStructType=out_fields,
+        stateStructType=state_fields,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -54,6 +54,13 @@ def main() -> None:
         "this fraction of the (post-blocklist) corpus",
     )
     ap.add_argument(
+        "--cap-by-registered-domain",
+        action="store_true",
+        help="with --head-cap-frac: apply the cap per registrable "
+        "domain (public-suffix aware) instead of per host, so a "
+        "site's subdomains cannot dodge it",
+    )
+    ap.add_argument(
         "--decontaminate",
         metavar="EVAL_PARQUET",
         default=None,
@@ -77,7 +84,12 @@ def main() -> None:
         if args.domain_blocklist:
             with open(args.domain_blocklist, encoding="utf-8") as fh:
                 blocklist = tuple(ln.strip() for ln in fh if ln.strip())
-        pages = curate_urls(pages, blocklist=blocklist, head_cap_frac=args.head_cap_frac)
+        pages = curate_urls(
+            pages,
+            blocklist=blocklist,
+            head_cap_frac=args.head_cap_frac,
+            cap_by_registered_domain=args.cap_by_registered_domain,
+        )
     if args.clean:
         from coap_rfc_knowledge_graph_spark.operators.text_stats import clean_corpus
 

@@ -272,3 +272,74 @@ def test_stream_near_dup_candidates_across_batches(spark, tmp_path):
     assert pairs == {("u1b", "u1"), ("u3", "u1")}, pairs
     assert all(r.first_id == "u1" for r in got)
     assert {r.doc_id for r in got if r.doc_id == "u2"} == set()
+
+
+def test_stream_latest_snapshot_matches_batch_over_3_batches(spark, tmp_path):
+    """Cross-batch snapshot upserts: the LAST emission per canonical url
+    (highest cumulative n_crawls) must equal the batch latest_snapshot
+    over the union — including the no-upgrade-but-count-grows case (an
+    older crawl arriving late) and the timestamp-tie payload tiebreak."""
+    import os
+
+    from coap_rfc_knowledge_graph_spark.operators.webtext import latest_snapshot
+    from coap_rfc_knowledge_graph_spark.streaming.ingest import stream_latest_snapshot
+
+    cols = "norm_url string, crawl_ts long, url string, text string"
+    batches = [
+        [("k1", 5, "k1-a", "old"), ("k3", 3, "k3-a", "t1")],
+        [("k1", 9, "k1-b", "new"), ("k2", 1, "k2-a", "only")],
+        [("k1", 7, "k1-c", "late"), ("k3", 3, "k3-b", "t2")],  # k1: older crawl; k3: ts tie
+    ]
+    flat_dir = str(tmp_path / "in")
+    os.makedirs(flat_dir)
+    n = 0
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp_path / f"b{i}"))
+        for f in os.listdir(str(tmp_path / f"b{i}")):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat_dir, f"part{n}.parquet")
+                os.rename(str(tmp_path / f"b{i}" / f), dst)
+                os.utime(dst, (1000000000 + n * 1000, 1000000000 + n * 1000))
+                n += 1
+    assert n == 3
+
+    stream = (
+        spark.readStream.schema(cols).option("maxFilesPerTrigger", 1).parquet(flat_dir)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_latest_snapshot(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.read.parquet(out_dir).collect()
+    last = {}
+    for r in emitted:
+        if r.norm_url not in last or r.n_crawls > last[r.norm_url].n_crawls:
+            last[r.norm_url] = r
+    union = spark.createDataFrame([t for b in batches for t in b], cols)
+    batch = {
+        r.norm_url: r
+        for r in latest_snapshot(
+            union, "norm_url", order_cols=("crawl_ts",), payload_cols=("url", "text")
+        ).collect()
+    }
+    assert set(last) == set(batch) == {"k1", "k2", "k3"}
+    for k in batch:
+        bt, st = batch[k], last[k]
+        assert (st.crawl_ts, st.url, st.text, st.n_crawls) == (
+            bt.crawl_ts,
+            bt.url,
+            bt.text,
+            bt.n_crawls,
+        ), k
+    # the winner rule did real work: k1 kept ts=9 over the late ts=7 crawl
+    assert last["k1"].text == "new" and last["k1"].n_crawls == 3
+    # ts tie broken by payload: k3-b > k3-a lexicographically
+    assert last["k3"].url == "k3-b"

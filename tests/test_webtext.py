@@ -66,6 +66,26 @@ def test_normalize_paths(spark):
     assert _norm(spark, "https://e.com/") == "https://e.com/"
 
 
+def test_registered_domain(spark):
+    from coap_rfc_knowledge_graph_spark.operators.webtext import registered_domain_expr
+
+    cases = {
+        "www.news.bbc.co.uk": "bbc.co.uk",
+        "a.b.site.com.au": "site.com.au",
+        "deep.sub.example.org": "example.org",
+        "example.org": "example.org",
+        "localhost": "localhost",
+        "co.uk": "co.uk",  # the bare suffix is returned as-is (n<=2 short-circuits)
+        "x.co.uk": "x.co.uk",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r.host: r.rd
+        for r in df.select("host", registered_domain_expr(F.col("host")).alias("rd")).collect()
+    }
+    assert got == cases
+
+
 def test_latest_snapshot_keeps_max_and_counts(spark):
     rows = [
         ("u1", 3, "u1-a", "t3"),
@@ -166,6 +186,26 @@ def test_curate_urls_end_to_end(spark):
     assert {r.url for r in capped.collect()} == {"https://other.com/b"}
 
 
+def test_curate_urls_cap_by_registered_domain(spark):
+    """Subdomain dodge: 3 subdomains of big.com each hold 25% of the
+    corpus — under a 0.5 host-level cap all survive; capping by
+    registrable domain drops the whole site."""
+    from coap_rfc_knowledge_graph_spark.operators.webtext import curate_urls
+
+    rows = [
+        (f"https://{sub}.big.com/p{i}", None, None, "t", "en")
+        for sub in ("www", "cdn", "m")
+        for i in range(2)
+    ] + [("https://small.org/a", None, None, "t", "en"), ("https://tiny.net/b", None, None, "t", "en")]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    host_capped = curate_urls(pages, head_cap_frac=0.5)
+    assert host_capped.count() == 8  # each subdomain only 2/8 = 0.25 -> survives
+    rd_capped = curate_urls(pages, head_cap_frac=0.5, cap_by_registered_domain=True)
+    assert {r.url for r in rd_capped.collect()} == {"https://small.org/a", "https://tiny.net/b"}
+
+
 def test_curate_urls_drops_malformed(spark):
     """Null / relative / scheme-less URLs are dropped, not merged into
     one degenerate page (all of them normalize to the same key)."""
@@ -203,3 +243,79 @@ def test_weburl_contract_round_trip(spark):
     kept = entry.q_weburl_domain_filter(spark, sf)
     hosts = {r.host for r in kept.collect()}
     assert len(hosts) == 9 and "hub.example.org" not in hosts and "src0.example.org" not in hosts
+
+
+def test_normalization_spark_duckdb_differential_fuzz(spark):
+    """Cross-engine differential test over adversarial URL-ish strings:
+    the Spark normalizer and the DuckDB oracle CTE must agree byte-for-
+    byte on EVERY input — the weburl_* oracle contract rests on the two
+    regex dialects (Java vs RE2) behaving identically on these patterns.
+    Seeded generator, 240 cases: userinfo, odd ports, repeated ?/#/@,
+    percent-escapes, empty components, tracking params in every slot."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(4242)
+    schemes = ["https", "HTTP", "ftp", "a+b-c."]
+    hosts = ["Example.COM", "a.b.c.d", "LOCALHOST", "x_y.org", "127.0.0.1", ""]
+    users = ["", "user@", "User:Pw@", "@", "a@b@"]
+    ports = ["", ":443", ":80", ":8080", ":0", ":"]
+    paths = ["", "/", "/a/b", "/A//b///", "/p%20q", "/~u", "/a?b" "/#"]
+    queries = [
+        "", "?", "?a=1", "?utm_source=x", "?a=1&utm_medium=m&b=2",
+        "?gclid=&fbclid=1", "?utm_x=1", "?&&", "?a=utm_source=x", "?=v", "?a==b",
+    ]
+    frags = ["", "#", "#f", "#a#b", "#?q=1"]
+    cases = []
+    for _ in range(240):
+        u = (
+            rng.choice(schemes) + "://" + rng.choice(users) + rng.choice(hosts)
+            + rng.choice(ports) + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        )
+        cases.append(u)
+    # plus some deliberately broken ones
+    cases += ["", "http:/x", "://host/p", "https://", "https://#f", "https://?q"]
+
+    from coap_rfc_knowledge_graph_spark.operators.webtext import norm_url_expr
+
+    sdf = spark.createDataFrame([(c,) for c in cases], "url string")
+    spark_out = [
+        r.n for r in sdf.select(norm_url_expr(F.col("url")).alias("n")).collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    duck_out = [
+        r[0]
+        for r in con.execute(
+            r"""
+        WITH parts AS (
+          SELECT i, url,
+                 lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                 regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS auth,
+                 regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+                 regexp_extract(url, '\?([^#]*)', 1) AS rawquery
+          FROM t
+        )
+        SELECT scheme || '://' || lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]+)', 1)) ||
+               CASE WHEN regexp_extract(auth, ':([0-9]+)$', 1) = ''
+                         OR (scheme = 'https' AND regexp_extract(auth, ':([0-9]+)$', 1) = '443')
+                         OR (scheme = 'http' AND regexp_extract(auth, ':([0-9]+)$', 1) = '80')
+                    THEN '' ELSE ':' || regexp_extract(auth, ':([0-9]+)$', 1) END ||
+               CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(rawpath, '/+$', '') END ||
+               CASE WHEN coalesce(array_to_string(list_filter(string_split(rawquery, '&'),
+                          x -> NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid)=')), '&'), '') = ''
+                    THEN ''
+                    ELSE '?' || coalesce(array_to_string(list_filter(string_split(rawquery, '&'),
+                          x -> NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid)=')), '&'), '') END
+        FROM parts ORDER BY i
+        """
+        ).fetchall()
+    ]
+    mismatches = [
+        (c, s, d) for c, s, d in zip(cases, spark_out, duck_out) if s != d
+    ]
+    assert not mismatches, mismatches[:5]
