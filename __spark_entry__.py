@@ -919,7 +919,7 @@ _WEBURL_CTE = r"""
              lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
              regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS auth,
              regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
-             regexp_extract(url, '\?([^#]*)', 1) AS rawquery
+             regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS rawquery
       FROM u
     ),
     normed AS (

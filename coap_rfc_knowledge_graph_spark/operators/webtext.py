@@ -28,7 +28,10 @@ from pyspark.sql import functions as F
 _SCHEME_PAT = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _AUTH_PAT = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
 _PATH_PAT = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)"
-_QUERY_PAT = r"\?([^#]*)"
+# the query is the first '?'..'#' span BEFORE any '#': an unanchored
+# \?([^#]*) would match a '?' inside the fragment (SPA hash routes like
+# /p#/route?x=1) and leak fragment content into the canonical URL
+_QUERY_PAT = r"^[^#]*?\?([^#]*)"
 _FRAGMENT_PAT = "#(.*)$"
 _HOST_PAT = "^(?:[^@]*@)?([^:]+)"
 _PORT_PAT = ":([0-9]+)$"

@@ -255,7 +255,10 @@ def stream_latest_snapshot(
     per key always equals the batch ``latest_snapshot`` over the union
     of all micro-batches (the parity test pins this), so a downstream
     ``foreachBatch`` upsert keyed on ``key_col`` maintains the exact
-    batch table incrementally.
+    batch table incrementally. Null handling: crawls with a null
+    timestamp are dropped (they cannot compete, and pandas sorts NaN
+    opposite to Spark's null-first struct max); null payload strings
+    coerce to ``""`` — the parity contract is over non-null-ts rows.
 
     Scale: state is one (ts, payloads, count) row per DISTINCT
     canonical URL — what any cross-stream snapshot collapse must hold;
@@ -284,8 +287,17 @@ def stream_latest_snapshot(
         for pdf in pdfs:
             if not len(pdf):
                 continue
+            # a crawl without a timestamp cannot compete (and pandas
+            # sorts NaN LAST where Spark's struct max puts nulls first —
+            # letting it through would both crash int() and break the
+            # batch-parity contract); null payloads coerce to "" for the
+            # same reason
+            pdf = pdf.dropna(subset=[ts_col])
+            if not len(pdf):
+                continue
             n += len(pdf)
-            sub = pdf.sort_values([ts_col, *payload_cols], kind="mergesort")
+            view = pdf.assign(**{c: pdf[c].fillna("") for c in payload_cols})
+            sub = view.sort_values([ts_col, *payload_cols], kind="mergesort")
             cand_row = sub.iloc[-1]
             cand = (int(cand_row[ts_col]), *(str(cand_row[c]) for c in payload_cols))
             if best is None or cand > best:

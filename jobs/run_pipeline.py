@@ -69,6 +69,13 @@ def main() -> None:
         "before extraction (GPT-3-style benchmark decontamination)",
     )
     args = ap.parse_args()
+    if not args.url_curation and (
+        args.domain_blocklist or args.head_cap_frac is not None or args.cap_by_registered_domain
+    ):
+        ap.error(
+            "--domain-blocklist/--head-cap-frac/--cap-by-registered-domain "
+            "require --url-curation (they would otherwise be silently ignored)"
+        )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -83,7 +90,12 @@ def main() -> None:
         blocklist: tuple[str, ...] = ()
         if args.domain_blocklist:
             with open(args.domain_blocklist, encoding="utf-8") as fh:
-                blocklist = tuple(ln.strip() for ln in fh if ln.strip())
+                # normalized like the parsed host column (lowercase, no
+                # trailing dot) — a mixed-case file entry would
+                # otherwise silently block nothing
+                blocklist = tuple(
+                    ln.strip().lower().rstrip(".") for ln in fh if ln.strip()
+                )
         pages = curate_urls(
             pages,
             blocklist=blocklist,

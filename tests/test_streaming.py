@@ -288,7 +288,11 @@ def test_stream_latest_snapshot_matches_batch_over_3_batches(spark, tmp_path):
     batches = [
         [("k1", 5, "k1-a", "old"), ("k3", 3, "k3-a", "t1")],
         [("k1", 9, "k1-b", "new"), ("k2", 1, "k2-a", "only")],
-        [("k1", 7, "k1-c", "late"), ("k3", 3, "k3-b", "t2")],  # k1: older crawl; k3: ts tie
+        [
+            ("k1", 7, "k1-c", "late"),  # k1: older crawl (count grows, no upgrade)
+            ("k3", 3, "k3-b", "t2"),  # k3: ts tie -> payload tiebreak
+            ("k2", None, "k2-x", "null-ts"),  # must neither crash nor compete
+        ],
     ]
     flat_dir = str(tmp_path / "in")
     os.makedirs(flat_dir)
@@ -323,7 +327,11 @@ def test_stream_latest_snapshot_matches_batch_over_3_batches(spark, tmp_path):
     for r in emitted:
         if r.norm_url not in last or r.n_crawls > last[r.norm_url].n_crawls:
             last[r.norm_url] = r
-    union = spark.createDataFrame([t for b in batches for t in b], cols)
+    # parity contract is over rows WITH a timestamp (the streaming op
+    # drops null-ts crawls; batch count(1) would count them)
+    union = spark.createDataFrame(
+        [t for b in batches for t in b if t[1] is not None], cols
+    )
     batch = {
         r.norm_url: r
         for r in latest_snapshot(
@@ -343,3 +351,5 @@ def test_stream_latest_snapshot_matches_batch_over_3_batches(spark, tmp_path):
     assert last["k1"].text == "new" and last["k1"].n_crawls == 3
     # ts tie broken by payload: k3-b > k3-a lexicographically
     assert last["k3"].url == "k3-b"
+    # the null-ts crawl neither crashed the query nor counted/won
+    assert last["k2"].n_crawls == 1 and last["k2"].url == "k2-a"

@@ -58,6 +58,11 @@ def test_normalize_tracking_params(spark):
     assert _norm(spark, "https://e.com/p?utm_campaign=x") == "https://e.com/p"
     # utm-like VALUES are not keys and survive
     assert _norm(spark, "https://e.com/p?q=utm_source=x") == "https://e.com/p?q=utm_source=x"
+    # a '?' inside the fragment is NOT a query (SPA hash routes): the
+    # whole fragment drops, nothing leaks into the canonical URL
+    assert _norm(spark, "https://e.com/p#?q=1") == "https://e.com/p"
+    assert _norm(spark, "https://e.com/p#/route?x=1") == "https://e.com/p"
+    assert _norm(spark, "https://e.com/p?a=1#?b=2") == "https://e.com/p?a=1"
 
 
 def test_normalize_paths(spark):
@@ -261,7 +266,7 @@ def test_normalization_spark_duckdb_differential_fuzz(spark):
     hosts = ["Example.COM", "a.b.c.d", "LOCALHOST", "x_y.org", "127.0.0.1", ""]
     users = ["", "user@", "User:Pw@", "@", "a@b@"]
     ports = ["", ":443", ":80", ":8080", ":0", ":"]
-    paths = ["", "/", "/a/b", "/A//b///", "/p%20q", "/~u", "/a?b" "/#"]
+    paths = ["", "/", "/a/b", "/A//b///", "/p%20q", "/~u", "/a?b", "/#"]
     queries = [
         "", "?", "?a=1", "?utm_source=x", "?a=1&utm_medium=m&b=2",
         "?gclid=&fbclid=1", "?utm_x=1", "?&&", "?a=utm_source=x", "?=v", "?a==b",
@@ -296,7 +301,7 @@ def test_normalization_spark_duckdb_differential_fuzz(spark):
                  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
                  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS auth,
                  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
-                 regexp_extract(url, '\?([^#]*)', 1) AS rawquery
+                 regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS rawquery
           FROM t
         )
         SELECT scheme || '://' || lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]+)', 1)) ||
