@@ -795,6 +795,62 @@ def q_weburl_domain_filter(spark, sf_dir):
     return kept.select("doc_id", "host")
 
 
+def _synth_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic directed link graph over ``documents`` for the
+    graph_* contract family (mirrored by ``_EDGES_CTE``): 211 nodes,
+    four edge generators per doc — two pseudo-random fan-outs, one
+    reversed edge, and a hub edge into nodes 0-6 (so 7 nodes hold
+    ~heavy in-degree, exercising the skewed-aggregate path PageRank
+    meets on a real web graph). Self-loops dropped, duplicates
+    collapsed."""
+    d = F.col("doc_id")
+    node = d % 211
+    pairs = F.array(
+        F.struct(node.alias("src"), ((d * 7 + 1) % 211).alias("dst")),
+        F.struct(node.alias("src"), ((d * 13 + 5) % 211).alias("dst")),
+        F.struct(((d * 3 + 2) % 211).alias("src"), node.alias("dst")),
+        F.struct(node.alias("src"), (d % 7).alias("dst")),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("e"))
+        .select("e.src", "e.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (3 iterations) over the synthetic
+    link graph — the iterative join+aggregate loop is exact in BIGINT
+    micro-units, so the DuckDB oracle (3 unrolled CTE layers) hash-
+    matches it bit-for-bit under any partitioning."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import pagerank_fixedpoint
+
+    edges = _synth_edges(_t(spark, sf_dir, "documents"))
+    return pagerank_fixedpoint(edges, iterations=3)
+
+
+def q_graph_degrees(spark, sf_dir):
+    """Directed degree statistics with zero-fill over the node set."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import degree_stats
+
+    return degree_stats(_synth_edges(_t(spark, sf_dir, "documents")))
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Global triangle count via canonical a<b<c wedge-close joins."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import triangle_count
+
+    return triangle_count(_synth_edges(_t(spark, sf_dir, "documents")))
+
+
+def q_graph_two_hop(spark, sf_dir):
+    """Distinct 2-hop reachability counts (path semantics) per node."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import two_hop_counts
+
+    return two_hop_counts(_synth_edges(_t(spark, sf_dir, "documents")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "modal_filter": q_modal_filter,
@@ -843,6 +899,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weburl_host_stats": q_weburl_host_stats,
         "weburl_domain_filter": q_weburl_domain_filter,
         "weburl_registered_domain": q_weburl_registered_domain,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_degrees": q_graph_degrees,
+        "graph_triangles": q_graph_triangles,
+        "graph_two_hop": q_graph_two_hop,
         "kg_single_rule": q_kg_single_rule,
         "kg_direct_type1": q_kg_direct_type1,
         "kg_direct_type2": q_kg_direct_type2,
@@ -969,6 +1029,51 @@ def _registered_domain_sql() -> str:
                     ELSE parts[-2] || '.' || parts[-1] END AS registered_domain
         FROM p
     """
+
+
+# Shared CTE chain for the graph_* oracles — byte-identical mirror of
+# _synth_edges. Integer %, so exact in both engines.
+_EDGES_CTE = """
+    e0 AS (
+      SELECT doc_id % 211 AS src, (doc_id * 7 + 1) % 211 AS dst FROM documents
+      UNION ALL SELECT doc_id % 211, (doc_id * 13 + 5) % 211 FROM documents
+      UNION ALL SELECT (doc_id * 3 + 2) % 211, doc_id % 211 FROM documents
+      UNION ALL SELECT doc_id % 211, doc_id % 7 FROM documents
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
+    ),
+    outdeg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_degree
+               FROM edges GROUP BY src)
+"""
+
+
+def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled fixed-point PageRank oracle: one (contrib, rank) CTE
+    layer per iteration, mirroring ``pagerank_fixedpoint`` — BIGINT
+    floor division (DuckDB ``//`` == Spark ``div``) keeps every value
+    engine-exact."""
+    base = (scale * 15) // 100
+    layers = [f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"]
+    for i in range(1, iterations + 1):
+        layers.append(
+            f"""c{i} AS (
+              SELECT e.dst AS node, SUM((r.rank * 85) // (o.out_degree * 100)) AS in_mass
+              FROM r{i-1} r JOIN outdeg o ON o.node = r.node
+                            JOIN edges e ON e.src = r.node
+              GROUP BY e.dst
+            ),
+            r{i} AS (
+              SELECT n.node, CAST({base} + COALESCE(c.in_mass, 0) AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+            )"""
+        )
+    return (
+        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(layers)
+        + f"\nSELECT node, rank FROM r{iterations}"
+    )
 
 
 def _pretrain_ctes() -> str:
@@ -1383,6 +1488,39 @@ def oracle_sql() -> dict[str, str]:
             over_cap AS (SELECT c.host FROM c, t WHERE c.n > 0.25 * t.tot)
             SELECT doc_id, host FROM b
             WHERE host NOT IN (SELECT host FROM over_cap)
+        """,
+        "graph_pagerank": _pagerank_sql(iterations=3),
+        "graph_degrees": f"""
+            WITH {_EDGES_CTE},
+            ind AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_degree
+                    FROM edges GROUP BY dst)
+            SELECT n.node,
+                   COALESCE(o.out_degree, 0) AS out_degree,
+                   COALESCE(i.in_degree, 0) AS in_degree,
+                   COALESCE(o.out_degree, 0) + COALESCE(i.in_degree, 0) AS degree
+            FROM nodes n
+            LEFT JOIN outdeg o ON o.node = n.node
+            LEFT JOIN ind i ON i.node = n.node
+        """,
+        "graph_triangles": f"""
+            WITH {_EDGES_CTE},
+            ue AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges WHERE src <> dst
+            ),
+            wedge AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM ue e1 JOIN ue e2 ON e2.a = e1.b
+              WHERE e1.a < e2.b
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM wedge w JOIN ue e ON e.a = w.x AND e.b = w.z
+        """,
+        "graph_two_hop": f"""
+            WITH {_EDGES_CTE}
+            SELECT e1.src AS node, CAST(count(DISTINCT e2.dst) AS BIGINT) AS n_two_hop
+            FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+            GROUP BY e1.src
         """,
         "decontaminate": r"""
             WITH tokd AS (

@@ -59,6 +59,26 @@ from ..config import (
 )
 from ..functions import stub_models
 
+# Similarity quantization: every threshold compare and every argmax
+# tie-break works on round(sim * SIM_SCALE) (integer micro-units), not
+# the raw float. Rationale (found round 4): the stub/real embeddings
+# produce pairs whose TRUE cosine sits exactly at the 0.9 threshold;
+# float32 BLAS accumulates in kernel-dependent order, so `sim > 0.9`
+# flipped between environments (one pin drifted 2858 -> 2859 entities
+# across container updates with zero code change). Quantizing first
+# makes the decision invariant to summation order: any dot within
+# ~0.4 micro-units of the true value rounds to the same integer, and
+# the critical true values (the threshold itself, exact ties) ARE
+# integers in micro-units. numpy's rint (half-even) and Spark's round
+# (half-up) only diverge exactly ON a .5 micro-unit boundary — a value
+# class the similarity data doesn't populate (documented caveat).
+SIM_SCALE = 1_000_000
+
+
+def _qthresh(threshold: float) -> int:
+    return int(round(threshold * SIM_SCALE))
+
+
 # --- N2: embedding UDF --------------------------------------------------------
 
 
@@ -155,7 +175,8 @@ def candidate_pairs_bruteforce(embedded: DataFrame, threshold: float = SIMILARIT
         m = bmat.value
         m_t = m.T  # (d, n) view — BLAS handles the stride, no copy
         chunk = 2048
-        buf = mask = None
+        qt = float(_qthresh(threshold))
+        buf = qbuf = mask = None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -164,6 +185,7 @@ def candidate_pairs_bruteforce(embedded: DataFrame, threshold: float = SIMILARIT
             width = min(chunk, m.shape[0])
             if buf is None or buf.shape[0] < b_rows:
                 buf = np.empty((b_rows, width), dtype=np.float32)
+                qbuf = np.empty((b_rows, width), dtype=np.float32)
                 mask = np.empty((b_rows, width), dtype=bool)
             idxs = pdf["idx"].to_numpy().astype(np.int64)
             out_i: list[np.ndarray] = []
@@ -175,12 +197,19 @@ def candidate_pairs_bruteforce(embedded: DataFrame, threshold: float = SIMILARIT
                 if w == buf.shape[1]:
                     sims = buf[:b_rows]  # row-prefix slice stays C-contiguous
                     np.dot(vecs, m_t[:, c0:c1], out=sims)
+                    qs = qbuf[:b_rows]
                     mk = mask[:b_rows]
                 else:  # tail chunk: small one-off allocation
                     sims = vecs @ m_t[:, c0:c1]
+                    qs = np.empty(sims.shape, dtype=np.float32)
                     mk = np.empty(sims.shape, dtype=bool)
-                # vectorized (cos > threshold) & (global j > i)
-                np.greater(sims, threshold, out=mk)
+                # vectorized (quantized cos > threshold) & (global j > i):
+                # compare in integer micro-units so BLAS summation-order
+                # noise at the threshold can't flip membership (see
+                # SIM_SCALE note)
+                np.multiply(sims, SIM_SCALE, out=qs)
+                np.rint(qs, out=qs)
+                np.greater(qs, qt, out=mk)
                 mk &= (np.arange(c0, c1, dtype=np.int64)[None, :] > idxs[:, None])
                 rpos, jloc = np.nonzero(mk)
                 out_i.append(idxs[rpos])
@@ -267,7 +296,11 @@ def candidate_pairs_lsh(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cmp = F.col("sim") >= threshold if inclusive else F.col("sim") > threshold
+    # quantized compare (micro-units) — mirrors candidate_pairs_bruteforce
+    # so the two paths agree on threshold-boundary pairs (see SIM_SCALE)
+    qsim = F.round(F.col("sim") * SIM_SCALE)
+    qt = F.lit(_qthresh(threshold))
+    cmp = qsim >= qt if inclusive else qsim > qt
     return (
         pairs.withColumn("sim", dot.cast("double"))
         .filter(cmp)
@@ -433,8 +466,10 @@ def link_surfaces(query_surfaces: DataFrame, entities: DataFrame, surface_col: s
             b_rows = len(vecs)
             if buf is None or buf.shape[0] < b_rows:
                 buf = np.empty((b_rows, min(chunk, n_ents)), dtype=np.float32)
-            best = np.full(b_rows, -np.inf, dtype=np.float32)
+            best = np.full(b_rows, -np.inf, dtype=np.float64)  # quantized key
+            raw = np.zeros(b_rows, dtype=np.float64)  # reported sim
             top = np.zeros(b_rows, dtype=np.int64)
+            rows = np.arange(b_rows)
             for c0 in range(0, n_ents, chunk):
                 c1 = min(n_ents, c0 + chunk)
                 if c1 - c0 == buf.shape[1]:
@@ -442,17 +477,22 @@ def link_surfaces(query_surfaces: DataFrame, entities: DataFrame, surface_col: s
                     np.dot(vecs, m_t[:, c0:c1], out=sims)
                 else:  # tail chunk: small one-off allocation
                     sims = vecs @ m_t[:, c0:c1]
-                loc = sims.argmax(axis=1)
-                val = sims[np.arange(b_rows), loc]
-                upd = val > best  # ties keep the LOWER index = argmax order
+                # argmax on QUANTIZED sims: near-equal float32 dots (exact
+                # ties in true math) would otherwise resolve by BLAS noise;
+                # quantized ties keep the LOWER index = argmax order
+                qs = np.rint(sims.astype(np.float64) * SIM_SCALE)
+                loc = qs.argmax(axis=1)
+                val = qs[rows, loc]
+                upd = val > best
                 best[upd] = val[upd]
+                raw[upd] = sims[rows, loc][upd].astype(np.float64)
                 top[upd] = loc[upd] + c0
             yield pd.DataFrame(
                 {
                     "surface": pdf[surface_col].astype(str),
                     "entity_id": eid[top],
                     "canonical": [enames[t] for t in top],
-                    "sim": best.astype(np.float64),
+                    "sim": raw,
                 }
             )
 
@@ -476,9 +516,15 @@ def _link_dot():  # column factories: building them needs an active session
 
 
 def _link_best():
+    # ordering key is the QUANTIZED sim (micro-units): exact-tie
+    # candidates then fall to the -e_id tiebreak deterministically
+    # instead of by float32 noise (matches link_surfaces' numpy argmax)
     return F.max_by(
         F.struct("e_id", "e_canonical", "sim"),
-        F.struct(F.col("sim"), (-F.col("e_id")).alias("nid")),
+        F.struct(
+            F.round(F.col("sim") * SIM_SCALE).alias("qsim"),
+            (-F.col("e_id")).alias("nid"),
+        ),
     ).alias("best")
 
 
@@ -687,12 +733,15 @@ def canonicalize_variables(entity_vars: DataFrame) -> DataFrame:
     def per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
         variables = sorted(set(pdf["var"]))
         vecs = np.asarray(stub_models.embed_batch(variables), dtype=np.float32)
-        sims = vecs @ vecs.T
+        # quantized micro-unit compare (see SIM_SCALE): threshold-exact
+        # pairs must not flip with BLAS summation order
+        sims = np.rint((vecs @ vecs.T).astype(np.float64) * SIM_SCALE)
+        qt = _qthresh(SIMILARITY_THRESHOLD)
         groups: list[list[str]] = []
         k = len(variables)
         for i in range(k):
             for j in range(i + 1, k):
-                if sims[i, j] > SIMILARITY_THRESHOLD:
+                if sims[i, j] > qt:
                     vi, vj = variables[i], variables[j]
                     added = False
                     for g in groups:

@@ -30,7 +30,13 @@ SF = "/root/testdata/sf0.001"
 # stub-model contract deliberately changes (document in FIXTURES.md)
 FLAGSHIP_HASHES = {
     "kg_triples": (19174, "6164aa38d7a9b7daa3294e712f1b30c1ea332d17694ea084818bc10290189c90"),
-    "kg_entities": (2858, "038b685c7fcd2e43ee07e4295ccf62da1af40a10b6b9f013e5e5f90768d1d8b2"),
+    # re-pinned round 4: three surface pairs have TRUE cosine exactly at
+    # the 0.9 threshold; the r3 value (2858) depended on float32 BLAS
+    # summation order including one of them. Threshold compares are now
+    # quantized to integer micro-units (linking.SIM_SCALE), which
+    # excludes exact-threshold pairs under strict `>` deterministically
+    # in every environment (FIXTURES.md §4).
+    "kg_entities": (2859, "748a563f539a5b116971460cc0e3ef0c72e2b88b39327dd7150856f4f4425b78"),
     # round 3: the remaining rows-only kg family members, value-pinned —
     # a content regression anywhere in the sentence/coref/variables/
     # solver chains now fails here even though DuckDB can't reproduce

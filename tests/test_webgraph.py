@@ -1,0 +1,95 @@
+"""Graph-analytics operators (operators/webgraph.py): hand-computable
+fixtures + partitioning invariance for the fixed-point PageRank."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coap_rfc_knowledge_graph_spark.operators.webgraph import (
+    SCALE,
+    degree_stats,
+    pagerank_fixedpoint,
+    triangle_count,
+    two_hop_counts,
+    undirected_edges,
+)
+
+
+def _edges(spark, pairs, partitions=None):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return df.repartition(partitions, "src") if partitions else df
+
+
+def test_pagerank_cycle_symmetric(spark):
+    # a 3-cycle is vertex-transitive: every node gets the identical rank,
+    # and with out_degree 1 everywhere no floor mass is lost:
+    # r1 = 150000 + (1000000*85) div 100 = 1000000 (fixed point)
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    got = {r.node: r.rank for r in pagerank_fixedpoint(e, iterations=4).collect()}
+    assert got == {0: SCALE, 1: SCALE, 2: SCALE}
+
+
+def test_pagerank_star_hub_dominates(spark):
+    # leaves 1..4 all point at 0; 0 points back at 1. After one round the
+    # hub holds the leaves' damped mass and every leaf rank is equal.
+    e = _edges(spark, [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)])
+    got = {r.node: r.rank for r in pagerank_fixedpoint(e, iterations=3).collect()}
+    assert got[0] > max(v for k, v in got.items() if k != 0)
+    assert got[2] == got[3] == got[4]  # leaves with no in-edges
+    assert got[2] == (SCALE * 15) // 100
+
+
+def test_pagerank_partitioning_invariant(spark):
+    # fixed-point integer arithmetic: bit-identical under any layout
+    pairs = [(i % 13, (i * 7 + 1) % 13) for i in range(60)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    r1 = {r.node: r.rank for r in pagerank_fixedpoint(_edges(spark, pairs), iterations=3).collect()}
+    r8 = {
+        r.node: r.rank
+        for r in pagerank_fixedpoint(_edges(spark, pairs, partitions=8), iterations=3).collect()
+    }
+    assert r1 == r8
+
+
+def test_pagerank_checkpoint_matches_plain(spark):
+    pairs = [(i % 11, (i * 5 + 2) % 11) for i in range(40) if i % 11 != (i * 5 + 2) % 11]
+    a = {r.node: r.rank for r in pagerank_fixedpoint(_edges(spark, pairs), 5, checkpoint_every=2).collect()}
+    b = {r.node: r.rank for r in pagerank_fixedpoint(_edges(spark, pairs), 5, checkpoint_every=0).collect()}
+    assert a == b
+
+
+def test_degree_stats_zero_fill(spark):
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2)])
+    got = {r.node: (r.out_degree, r.in_degree, r.degree) for r in degree_stats(e).collect()}
+    assert got == {0: (2, 0, 2), 1: (1, 1, 2), 2: (0, 2, 2)}
+
+
+def test_triangles_k4(spark):
+    # K4 has C(4,3) = 4 triangles; directed duplicates/self-loops ignored
+    pairs = [(a, b) for a in range(4) for b in range(4) if a != b] + [(1, 1), (2, 1)]
+    e = _edges(spark, pairs)
+    assert triangle_count(e).collect()[0].n_triangles == 4
+    assert undirected_edges(e).count() == 6
+
+
+def test_triangles_none_on_path(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    assert triangle_count(e).collect()[0].n_triangles == 0
+
+
+def test_two_hop_path_semantics(spark):
+    # 0->1->2, 0->2->3: two-hop from 0 = {2, 3}; from 1 = {3}; 2, 3 none
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    got = {r.node: r.n_two_hop for r in two_hop_counts(e).collect()}
+    assert got == {0: 2, 1: 1}
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_pagerank_mass_bounded(spark, iters):
+    # floors only ever LOSE mass: total rank <= N * SCALE always
+    pairs = [(i % 17, (i * 3 + 1) % 17) for i in range(80) if i % 17 != (i * 3 + 1) % 17]
+    e = _edges(spark, pairs)
+    n = e.select("src").union(e.select("dst")).distinct().count()
+    total = pagerank_fixedpoint(e, iterations=iters).agg(F.sum("rank")).collect()[0][0]
+    assert total <= n * SCALE
