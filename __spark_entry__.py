@@ -851,6 +851,84 @@ def q_graph_two_hop(spark, sf_dir):
     return two_hop_counts(_synth_edges(_t(spark, sf_dir, "documents")))
 
 
+def q_lm_coverage(spark, sf_dir):
+    """CCNet-style corpus-LM scoring, exact-integer form: bigram LM
+    trained on the 80% reference slice (doc_id % 10 < 8), every doc
+    scored by (total, matched, summed-LM-count) — the integer analog of
+    perplexity ranking, engine-exact so DuckDB hash-verifies it."""
+    from coap_rfc_knowledge_graph_spark.operators.corpus_lm import (
+        lm_coverage,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 10 < 8))
+    return lm_coverage(docs, lm)
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Dolma-style paragraph-level exact dedup over 16-word windows:
+    a paragraph survives only as its global first occurrence (min
+    (doc, position) per content hash); per-doc totals + rejoined text."""
+    from coap_rfc_knowledge_graph_spark.operators.dedup import (
+        paragraph_dedup,
+        split_paragraphs,
+    )
+
+    paras = split_paragraphs(_t(spark, sf_dir, "documents"), words=16)
+    return paragraph_dedup(paras)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII masking (emails / IPv4 / phones) with exact match counts —
+    PII synthesized deterministically onto each doc so every pattern
+    fires; pure regexp projections, zero shuffles."""
+    from coap_rfc_knowledge_graph_spark.operators.pii import redact_pii
+
+    d = F.col("doc_id")
+    pii_text = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"), F.lit(".example.com or 10."),
+        (d % 256).cast("string"), F.lit(".0."), (d % 100).cast("string"),
+        F.lit(" call +1-555-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" end"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", pii_text.alias("text"))
+    return redact_pii(docs).select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+
+
+def q_hash_split(spark, sf_dir):
+    """Stable 80/10/10 train/val/test assignment by md5-hash draw —
+    reproducible under any partitioning/engine, unlike randomSplit."""
+    from coap_rfc_knowledge_graph_spark.operators.sampling import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents")).select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Language-rebalancing downsample: per-stratum keep rates (en 500‰,
+    others 250‰) via a deterministic (lang, id) draw."""
+    from coap_rfc_knowledge_graph_spark.operators.sampling import stratified_exact_sample
+
+    rates = {"en": 500, "de": 250, "fr": 250, "es": 250, "zh": 250}
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_exact_sample(docs, "lang", rates).select("doc_id", "lang")
+
+
+def q_lexical_topk(spark, sf_dir):
+    """Inverted-index top-3 retrieval under the integer tf-idf score
+    (tf * (1e6 div df)) — queries are docs 480+, corpus is docs < 400."""
+    from coap_rfc_knowledge_graph_spark.operators.retrieval import lexical_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    queries_df = docs.filter(F.col("doc_id") >= 480).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return lexical_topk(corpus, queries_df, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "modal_filter": q_modal_filter,
@@ -903,6 +981,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
         "graph_two_hop": q_graph_two_hop,
+        "lm_coverage": q_lm_coverage,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pii_redact": q_pii_redact,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "lexical_topk": q_lexical_topk,
         "kg_single_rule": q_kg_single_rule,
         "kg_direct_type1": q_kg_direct_type1,
         "kg_direct_type2": q_kg_direct_type2,
@@ -1521,6 +1605,136 @@ def oracle_sql() -> dict[str, str]:
             SELECT e1.src AS node, CAST(count(DISTINCT e2.dst) AS BIGINT) AS n_two_hop
             FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
             GROUP BY e1.src
+        """,
+        "lm_coverage": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, unnest(
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                            ELSE [] END) AS bigram
+              FROM tok
+            ),
+            lm AS (
+              SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+              FROM g WHERE doc_id % 10 < 8 GROUP BY bigram
+            )
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS total_bigrams,
+                   CAST(count(lm.cnt) AS BIGINT) AS matched_bigrams,
+                   CAST(sum(COALESCE(lm.cnt, 0)) AS BIGINT) AS sum_match_count
+            FROM g LEFT JOIN lm USING (bigram)
+            GROUP BY g.doc_id
+        """,
+        "paragraph_dedup": """
+            WITH s AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            p0 AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS para_id,
+                     array_to_string(toks[i*16+1 : i*16+16], ' ') AS paragraph
+              FROM s, LATERAL (SELECT unnest(range(CAST(ceil(len(toks)/16.0) AS INT))) AS i) g
+            ),
+            p AS (SELECT *, md5(paragraph) AS h FROM p0 WHERE paragraph <> ''),
+            kept AS (
+              SELECT doc_id, para_id, paragraph,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id, para_id) AS rn
+              FROM p
+            ),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM p GROUP BY doc_id),
+            reb AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(paragraph, ' ' ORDER BY para_id) AS text_kept
+              FROM kept WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_paras, r.n_kept, r.text_kept
+            FROM tot t JOIN reb r ON r.doc_id = t.doc_id
+        """,
+        "pii_redact": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     substr(text, 1, 80)
+                     || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com or 10.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                     || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' end' AS text
+              FROM documents
+            ),
+            step AS (
+              SELECT doc_id, text,
+                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                    '<EMAIL>', 'g') AS after_email
+              FROM base
+            ),
+            step2 AS (
+              SELECT *, regexp_replace(after_email,
+                          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                          '<IP>', 'g') AS after_ip
+              FROM step
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(after_email,
+                        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+                   CAST(len(regexp_extract_all(after_ip,
+                        '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phones,
+                   regexp_replace(after_ip, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}\b',
+                                  '<PHONE>', 'g') AS redacted
+            FROM step2
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN d < 80 THEN 'train' WHEN d < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 100 AS d
+              FROM documents)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     CAST(concat('0x', substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 1000 AS d
+              FROM documents)
+            WHERE d < (CASE WHEN lang = 'en' THEN 500 ELSE 250 END)
+        """,
+        "lexical_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+              FROM documents
+            ),
+            post AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM tok WHERE doc_id < 400)
+              GROUP BY term, doc_id
+            ),
+            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+            w AS (
+              SELECT p.term, p.doc_id, p.tf * (1000000 // d.df) AS w
+              FROM post p JOIN dfq d USING (term)
+            ),
+            qt AS (
+              SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+              FROM tok WHERE doc_id >= 480
+            ),
+            sc AS (
+              SELECT query_id, doc_id, CAST(sum(w) AS BIGINT) AS score
+              FROM qt JOIN w USING (term) GROUP BY query_id, doc_id
+            ),
+            r AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+              FROM sc
+            )
+            SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 3
         """,
         "decontaminate": r"""
             WITH tokd AS (

@@ -200,6 +200,42 @@ def main() -> None:
             repeat=2,
         )
 
+        # round-4 additions: graph analytics + curation scoring ops
+        from coap_rfc_knowledge_graph_spark.operators.corpus_lm import (
+            lm_coverage,
+            train_bigram_lm,
+        )
+        from coap_rfc_knowledge_graph_spark.operators.dedup import (
+            paragraph_dedup,
+            split_paragraphs,
+        )
+        from coap_rfc_knowledge_graph_spark.operators.retrieval import lexical_topk
+        from coap_rfc_knowledge_graph_spark.operators.webgraph import pagerank_fixedpoint
+
+        edges = entrymod._synth_edges(docs)
+        timed("graph_pagerank", lambda: pagerank_fixedpoint(edges, iterations=3).count(), repeat=2)
+        timed(
+            "lm_coverage",
+            lambda: lm_coverage(
+                docs, train_bigram_lm(docs.filter(F.col("doc_id") % 10 < 8))
+            ).agg(F.avg("sum_match_count")).collect(),
+            repeat=2,
+        )
+        timed(
+            "paragraph_dedup",
+            lambda: paragraph_dedup(split_paragraphs(docs, words=16))
+            .agg(F.sum("n_kept")).collect(),
+            repeat=2,
+        )
+        rqueries = docs.filter(F.col("doc_id") % 500 == 7).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        timed(
+            "lexical_topk",
+            lambda: lexical_topk(docs, rqueries, k=3).count(),
+            repeat=2,
+        )
+
     queries_out = dict(timings)
     queries_out["docs_per_sec"] = round(n_docs / flagship, 2) if flagship else 0.0
     queries_out["n_docs"] = n_docs

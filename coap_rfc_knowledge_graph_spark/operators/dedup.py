@@ -700,3 +700,81 @@ def minhash_signatures_native(
         .groupBy("doc_id", "seed")
         .agg(F.min("h").alias("minhash"))
     )
+
+
+# --- paragraph-level exact dedup ----------------------------------------------
+
+
+def split_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str | None = None,
+    words: int = 16,
+) -> DataFrame:
+    """(id, para_id, paragraph): either split on a separator (``sep``,
+    e.g. ``"\\n\\n"`` for real web text) or — when the corpus has no
+    paragraph markers, like the synthetic one — fixed ``words``-word
+    windows of the token stream. Pure Catalyst fan-out."""
+    if sep is not None:
+        parts = F.split(F.col(text_col), sep)
+    else:
+        toks = F.split(F.col(text_col), " ")
+        n_chunks = F.ceil(F.size(toks) / F.lit(float(words))).cast("int")
+        parts = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * words + 1, words), " "),
+        )
+    return (
+        docs.select(F.col(id_col), F.posexplode(parts).alias("para_id", "paragraph"))
+        .filter(F.col("paragraph") != "")
+        .select(id_col, F.col("para_id").cast("long").alias("para_id"), "paragraph")
+    )
+
+
+def paragraph_dedup(
+    paras: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "para_id",
+    para_col: str = "paragraph",
+) -> DataFrame:
+    """Dolma-style paragraph-level exact dedup: a paragraph occurrence
+    survives iff it is the GLOBAL first occurrence of its content —
+    min (id, order) over the md5 hash group (boilerplate navigation/
+    footer paragraphs repeated across millions of pages get kept once,
+    dropped everywhere else). Returns per-document
+    (id, n_paras, n_kept, text_kept) for documents keeping >= 1
+    paragraph; ``text_kept`` re-joins the survivors in original order.
+
+    Scale shape: one hash aggregate on the paragraph hash (min over a
+    packed (id, order) struct — map-side partial combine, no window, no
+    sort), an equi-join back on the hash, then one per-document
+    aggregate. At 10^12 paragraphs a hot hash (the empty-footer case)
+    still reduces to ONE row per map task before the shuffle.
+    """
+    hashed = paras.select(
+        F.col(id_col), F.col(order_col), F.col(para_col), F.md5(F.col(para_col)).alias("__h")
+    )
+    first = hashed.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col(order_col).alias("o"))).alias("__f")
+    )
+    kept = hashed.join(first, "__h").filter(
+        (F.col(id_col) == F.col("__f.i")) & (F.col(order_col) == F.col("__f.o"))
+    )
+    per_doc = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(para_col).alias("p")))
+                    ),
+                    lambda s: s["p"],
+                ),
+                " ",
+            ).alias("text_kept"),
+        )
+    )
+    return per_doc.join(rebuilt, id_col).select(id_col, "n_paras", "n_kept", "text_kept")

@@ -1,0 +1,91 @@
+"""Lexical (inverted-index) retrieval — term-matching top-k over the
+corpus, the sparse complement to ``operators/similarity.py``'s dense
+ANN. Training-data pipelines use it for benchmark-adjacent document
+mining, dedup-by-query auditing, and retrieval-augmented labeling
+(the M12 few-shot path retrieves by dense cosine; this is the BM25-
+family analog).
+
+Scoring is integer-exact so the driver can hash-verify it cross-engine:
+
+    score(q, d) = sum over shared terms  tf(t, d) * (IDF_SCALE div df(t))
+
+— tf the term's count in d, df its document frequency in the corpus,
+floor division making the weight a BIGINT. That is a monotone
+tf-idf: rare terms dominate, exactly like BM25's idf, without the
+float log that would drift between engines. Ties break on doc_id asc.
+
+Scale shape (10^12 docs):
+- postings = one explode + one (term, doc) hash aggregate;
+- df = one hash aggregate over postings (map-side combine);
+- the query join shuffles on the term key. Hot terms ARE the skew —
+  ``max_df`` drops terms appearing in more than that many documents
+  (stop-word pruning: they carry ~zero idf weight anyway and their
+  posting lists are the corpus);
+- per-query top-k is a window over that query's candidates only
+  (partitioned by query — never a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+IDF_SCALE = 1_000_000
+
+
+def _terms(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+
+def term_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc id, tf): the inverted index's posting rows."""
+    return (
+        docs.select(F.col(id_col), F.explode(_terms(text_col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_freq(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(term, df): documents containing the term."""
+    return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def lexical_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Top-k corpus documents per query under the integer tf-idf score.
+    Output: (query_id, rank, doc_id, score) — rank 1-based, ties by
+    doc_id asc. Queries whose terms all miss (or were all df-pruned)
+    emit no rows."""
+    postings = term_postings(corpus, id_col, text_col)
+    dfreq = doc_freq(postings, id_col)
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    weighted = postings.join(dfreq, "term").withColumn(
+        "w", F.col("tf") * F.expr(f"{IDF_SCALE} div df")
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(_terms(query_text_col))).alias("term"),
+    )
+    scored = (
+        qterms.join(weighted, "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("doc_id"), "score")
+    )

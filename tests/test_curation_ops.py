@@ -1,0 +1,210 @@
+"""Round-4 curation operators: corpus-LM scoring, paragraph dedup,
+PII redaction, hash split / stratified sampling, lexical retrieval."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coap_rfc_knowledge_graph_spark.operators.corpus_lm import (
+    lm_coverage,
+    lm_coverage_filter,
+    lm_logprob,
+    lm_logprob_reference,
+    prune_top_bigrams,
+    train_bigram_lm,
+)
+from coap_rfc_knowledge_graph_spark.operators.dedup import paragraph_dedup, split_paragraphs
+from coap_rfc_knowledge_graph_spark.operators.pii import redact_pii
+from coap_rfc_knowledge_graph_spark.operators.retrieval import lexical_topk
+from coap_rfc_knowledge_graph_spark.operators.sampling import (
+    hash_split,
+    stratified_exact_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- corpus LM ------------------------------------------------------------------
+
+
+def test_lm_coverage_hand_values(spark):
+    ref = _docs(spark, [(0, "a b a b"), (1, "a b c")])
+    # ref bigrams: (a b) x2 + (b a) + (a b) + (b c) -> counts: a b=3, b a=1, b c=1
+    docs = _docs(spark, [(10, "a b c d"), (11, "x"), (12, "d d")])
+    cov = {r.doc_id: r for r in lm_coverage(docs, train_bigram_lm(ref)).collect()}
+    # doc 10: bigrams (a b)(b c)(c d): total 3, matched 2, sum 3+1=4
+    assert (cov[10].total_bigrams, cov[10].matched_bigrams, cov[10].sum_match_count) == (3, 2, 4)
+    # doc 11 has no bigrams -> no row; doc 12: (d d) unmatched
+    assert 11 not in cov
+    assert (cov[12].total_bigrams, cov[12].matched_bigrams, cov[12].sum_match_count) == (1, 0, 0)
+
+
+def test_lm_coverage_filter_gate(spark):
+    ref = _docs(spark, [(0, "a b c")])
+    docs = _docs(spark, [(1, "a b c"), (2, "a b z z")])
+    kept = {r.doc_id for r in lm_coverage_filter(docs, train_bigram_lm(ref), min_permille=700).collect()}
+    # doc 1: 2/2 matched (1000‰); doc 2: 1/3 (333‰)
+    assert kept == {1}
+
+
+def test_lm_coverage_broadcast_path_equal_and_broadcasts(spark):
+    ref = _docs(spark, [(i, f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 5}") for i in range(20)])
+    docs = _docs(spark, [(100 + i, f"w{i % 5} w{(i + 3) % 5}") for i in range(10)])
+    lm = prune_top_bigrams(train_bigram_lm(ref), top_m=6)
+    a = sorted(map(tuple, lm_coverage(docs, lm).collect()))
+    b_df = lm_coverage(docs, lm, broadcast_lm=True)
+    assert sorted(map(tuple, b_df.collect())) == a
+    assert "BroadcastHashJoin" in b_df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lm_logprob_matches_pure_python(spark):
+    ref_texts = ["a b a b c", "b c a a"]
+    texts = ["a b c", "c c c", "a"]
+    ref = _docs(spark, list(enumerate(ref_texts)))
+    docs = _docs(spark, [(10 + i, t) for i, t in enumerate(texts)])
+    got = {r.doc_id: r.mean_logprob for r in lm_logprob(docs, ref, alpha=0.1).collect()}
+    exp = lm_logprob_reference(texts, ref_texts, alpha=0.1)
+    assert abs(got[10] - exp[0]) < 1e-9 and abs(got[11] - exp[1]) < 1e-9
+    assert 12 not in got and exp[2] is None  # single-token doc: no transitions
+
+
+# --- paragraph dedup --------------------------------------------------------------
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    paras = spark.createDataFrame(
+        [
+            (0, 0, "alpha beta"),
+            (0, 1, "gamma"),
+            (1, 0, "alpha beta"),  # dup of (0,0) -> dropped
+            (1, 1, "delta"),
+            (2, 0, "alpha beta"),  # dup -> dropped
+            (2, 1, "gamma"),       # dup of (0,1) -> dropped: doc 2 keeps nothing
+        ],
+        "doc_id long, para_id long, paragraph string",
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(paras).collect()}
+    assert (got[0].n_paras, got[0].n_kept, got[0].text_kept) == (2, 2, "alpha beta gamma")
+    assert (got[1].n_paras, got[1].n_kept, got[1].text_kept) == (2, 1, "delta")
+    assert 2 not in got  # lost every paragraph
+
+
+def test_paragraph_dedup_within_doc_and_order(spark):
+    paras = spark.createDataFrame(
+        [(0, 0, "x"), (0, 1, "y"), (0, 2, "x"), (0, 3, "z")],
+        "doc_id long, para_id long, paragraph string",
+    )
+    row = paragraph_dedup(paras).collect()[0]
+    assert (row.n_paras, row.n_kept, row.text_kept) == (4, 3, "x y z")
+
+
+def test_split_paragraphs_sep_and_windows(spark):
+    docs = _docs(spark, [(0, "p one\n\np two"), (1, "a b c d e")])
+    by_sep = split_paragraphs(docs.filter("doc_id = 0"), sep=r"\n\n").collect()
+    assert [(r.para_id, r.paragraph) for r in sorted(by_sep, key=lambda r: r.para_id)] == [
+        (0, "p one"), (1, "p two"),
+    ]
+    by_win = split_paragraphs(docs.filter("doc_id = 1"), words=2).collect()
+    assert [r.paragraph for r in sorted(by_win, key=lambda r: r.para_id)] == ["a b", "c d", "e"]
+
+
+# --- PII ------------------------------------------------------------------------
+
+
+def test_pii_redaction_masks_and_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "mail a.user+x@sub.example.co.uk now"),
+            (1, "server at 192.168.1.20 and 10.0.0.1"),
+            (2, "call +1-555-0134 or +44-201-9999 today"),
+            (3, "clean text only"),
+        ],
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[0].redacted == "mail <EMAIL> now" and got[0].n_emails == 1
+    assert got[1].redacted == "server at <IP> and <IP>" and got[1].n_ips == 2
+    assert got[2].redacted == "call <PHONE> or <PHONE> today" and got[2].n_phones == 2
+    assert got[3].redacted == "clean text only"
+    assert (got[3].n_emails, got[3].n_ips, got[3].n_phones) == (0, 0, 0)
+
+
+def test_pii_email_swallows_ip_shaped_host(spark):
+    # the ip-shaped substring inside the email host must vanish with the
+    # email, not survive as user@<IP>
+    docs = _docs(spark, [(0, "x u@10.0.0.9.example.com y 10.0.0.9 z")])
+    row = redact_pii(docs).collect()[0]
+    assert row.redacted == "x <EMAIL> y <IP> z"
+    assert (row.n_emails, row.n_ips) == (1, 1)
+
+
+def test_pii_zero_shuffle_plan(spark):
+    docs = _docs(spark, [(0, "t")])
+    plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --- hash split / stratified sample ----------------------------------------------
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    docs = _docs(spark, [(i, "t") for i in range(2000)])
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs.repartition(7)).collect()}
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.07 < c["val"] / 2000 < 0.13
+    assert 0.07 < c["test"] / 2000 < 0.13
+
+
+def test_stratified_sample_rates_and_stability(spark):
+    rows = [(i, "t", "en" if i % 2 == 0 else ("de" if i % 4 == 1 else "xx")) for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = stratified_exact_sample(docs, "lang", {"en": 500, "de": 1000}).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert "xx" not in by_lang  # default_permille=0 drops unlisted strata
+    assert len(by_lang["de"]) == 1000  # rate 1000‰ keeps every de row
+    assert 0.4 < len(by_lang["en"]) / 2000 < 0.6
+    # stable under repartitioning
+    kept2 = {r.doc_id for r in stratified_exact_sample(docs.repartition(9), "lang", {"en": 500, "de": 1000}).collect()}
+    assert kept2 == {r.doc_id for r in kept}
+
+
+# --- lexical retrieval ------------------------------------------------------------
+
+
+def test_lexical_topk_ranking(spark):
+    corpus = _docs(
+        spark,
+        [
+            (0, "apple banana apple"),   # tf(apple)=2
+            (1, "apple cherry"),
+            (2, "banana banana banana"),
+            (3, "durian"),
+        ],
+    )
+    queries = spark.createDataFrame([(100, "apple banana")], "query_id long, text string")
+    got = sorted(lexical_topk(corpus, queries, k=4).collect(), key=lambda r: r.rank)
+    # df: apple=2 (w=500000), banana=2 (w=500000), doc0 = 2*500000+1*500000
+    assert [(r.doc_id, r.score) for r in got] == [
+        (0, 1_500_000), (2, 1_500_000), (1, 500_000),
+    ][: len(got)]
+    # tie between doc0 (1.5M) and doc2 (3*500000 = 1.5M) breaks by doc_id
+    assert got[0].doc_id == 0 and got[1].doc_id == 2
+
+
+def test_lexical_topk_max_df_prunes_stopwords(spark):
+    corpus = _docs(spark, [(i, f"the w{i}") for i in range(10)])
+    queries = spark.createDataFrame([(0, "the w3")], "query_id long, text string")
+    got = lexical_topk(corpus, queries, k=10, max_df=5).collect()
+    # "the" (df=10) is pruned; only w3 matches
+    assert [(r.doc_id, r.rank) for r in got] == [(3, 1)]
