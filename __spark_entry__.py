@@ -929,6 +929,27 @@ def q_lexical_topk(spark, sf_dir):
     return lexical_topk(corpus, queries_df, k=3)
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic integer k-means over the embeddings table (k=8,
+    2 iterations, milli-unit quantization): the SemDeDup bucketing
+    stage. Assignment is a zero-shuffle codegen projection against the
+    centroid literals; the oracle unrolls both iterations in SQL."""
+    from coap_rfc_knowledge_graph_spark.operators.clustering import kmeans_quantized
+
+    return kmeans_quantized(_t(spark, sf_dir, "embeddings"), k=8, iterations=2)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: within-cluster integer-dot near-dup pruning (keep the
+    lowest id per near-dup relation). Threshold 0.4 in micro-units —
+    the synthetic embeddings' near-dup band."""
+    from coap_rfc_knowledge_graph_spark.operators.clustering import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=8, iterations=2, sim_threshold_micro=400_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "modal_filter": q_modal_filter,
@@ -981,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
         "graph_two_hop": q_graph_two_hop,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "lm_coverage": q_lm_coverage,
         "paragraph_dedup": q_paragraph_dedup,
         "pii_redact": q_pii_redact,
@@ -1158,6 +1181,60 @@ def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000) -> str:
         "WITH " + _EDGES_CTE + ",\n" + ",\n".join(layers)
         + f"\nSELECT node, rank FROM r{iterations}"
     )
+
+
+def _kmeans_ctes(k: int = 8, iterations: int = 2, scale: int = 1000, dim: int = 64) -> str:
+    """Unrolled integer-k-means oracle CTE chain, mirroring
+    ``clustering.kmeans_quantized``: milli-unit quantization, integer
+    squared-L2 assignment with (distance, centroid-index) tie order,
+    truncating-division centroid update (DuckDB ``//`` == Spark ``div``),
+    empty clusters inheriting the previous centroid. The final CTE is
+    ``s{iterations+1}`` = (id, v, cluster) under the final centroids."""
+    parts = [
+        f"""xq AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, v
+          FROM (SELECT * FROM xq ORDER BY id LIMIT {k})
+        )"""
+    ]
+    for t in range(1, iterations + 2):
+        parts.append(
+            f"""a{t} AS (
+              SELECT x.id, x.v, c.cidx,
+                     list_sum(list_transform(range(1, {dim + 1}),
+                              i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i]))) AS d
+              FROM xq x CROSS JOIN c{t - 1} c
+            ),
+            s{t} AS (
+              SELECT id, v, cidx AS cluster FROM (
+                SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cidx) AS rn
+                FROM a{t}) WHERE rn = 1
+            )"""
+        )
+        if t <= iterations:
+            parts.append(
+                f"""u{t} AS (
+                  SELECT cluster, u.i AS pos, SUM(u.x) AS s, COUNT(*) AS n
+                  FROM (SELECT cluster,
+                               unnest(list_transform(range(len(v)),
+                                      i -> {{'i': i, 'x': v[i + 1]}})) AS u
+                        FROM s{t})
+                  GROUP BY cluster, u.i
+                ),
+                c{t} AS (
+                  SELECT c.cidx, COALESCE(m.v, c.v) AS v
+                  FROM c{t - 1} c LEFT JOIN (
+                    SELECT cluster AS cidx,
+                           list(CAST(s // n AS BIGINT) ORDER BY pos) AS v
+                    FROM u{t} GROUP BY cluster
+                  ) m ON m.cidx = c.cidx
+                )"""
+            )
+    return ",\n".join(parts)
 
 
 def _pretrain_ctes() -> str:
@@ -1605,6 +1682,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT e1.src AS node, CAST(count(DISTINCT e2.dst) AS BIGINT) AS n_two_hop
             FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
             GROUP BY e1.src
+        """,
+        "kmeans_clusters": f"""
+            WITH {_kmeans_ctes(k=8, iterations=2)}
+            SELECT id AS vec_id, CAST(cluster AS INT) AS cluster FROM s3
+        """,
+        "semantic_dedup": f"""
+            WITH {_kmeans_ctes(k=8, iterations=2)},
+            pairs AS (
+              SELECT a.id AS ia, b.id AS ib,
+                     list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS dot
+              FROM s3 a JOIN s3 b ON a.cluster = b.cluster AND a.id < b.id
+            ),
+            dups AS (SELECT DISTINCT ib AS id FROM pairs WHERE dot >= 400000)
+            SELECT s.id AS vec_id, CAST(s.cluster AS INT) AS cluster,
+                   (d.id IS NULL) AS keep
+            FROM s3 s LEFT JOIN dups d ON d.id = s.id
         """,
         "lm_coverage": r"""
             WITH tok AS (

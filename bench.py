@@ -235,6 +235,15 @@ def main() -> None:
             lambda: lexical_topk(docs, rqueries, k=3).count(),
             repeat=2,
         )
+        from coap_rfc_knowledge_graph_spark.operators.clustering import semantic_dedup
+
+        timed(
+            "semantic_dedup",
+            lambda: semantic_dedup(
+                emb, k=8, iterations=2, sim_threshold_micro=400_000
+            ).filter(~F.col("keep")).count(),
+            repeat=2,
+        )
 
     queries_out = dict(timings)
     queries_out["docs_per_sec"] = round(n_docs / flagship, 2) if flagship else 0.0
