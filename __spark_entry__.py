@@ -1766,19 +1766,19 @@ def oracle_sql() -> dict[str, str]:
             ),
             step2 AS (
               SELECT *, regexp_replace(after_email,
-                          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
-                          '<IP>', 'g') AS after_ip
+                          '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})(\z|[^0-9.])',
+                          '\1<IP>\3', 'g') AS after_ip
               FROM step
             )
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
                    CAST(len(regexp_extract_all(after_email,
-                        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+                        '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})(\z|[^0-9.])')) AS INT) AS n_ips,
                    CAST(len(regexp_extract_all(after_ip,
-                        '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phones,
-                   regexp_replace(after_ip, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}\b',
-                                  '<PHONE>', 'g') AS redacted
+                        '(\+[0-9]{1,3}-[0-9]{3}-[0-9]{4})(\z|[^0-9])')) AS INT) AS n_phones,
+                   regexp_replace(after_ip, '(\+[0-9]{1,3}-[0-9]{3}-[0-9]{4})(\z|[^0-9])',
+                                  '<PHONE>\2', 'g') AS redacted
             FROM step2
         """,
         "hash_split": """

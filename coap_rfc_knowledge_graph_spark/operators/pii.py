@@ -4,11 +4,24 @@ addresses and phone numbers in place). Pure regexp projections: zero
 shuffles, whole-stage codegen, pushdown-friendly.
 
 The patterns deliberately stick to constructs whose semantics are
-identical in Java regex (Spark) and RE2 (DuckDB) — character classes,
-bounded repetition, ``\\b`` — so the DuckDB oracle mirrors them
-verbatim. They are the standard recall-oriented curation patterns, not
-validators (an over-match costs one masked token; an under-match leaks
-PII into a trained model).
+identical in Java regex (Spark) and RE2 (DuckDB). That EXCLUDES ``\\b``:
+Java's word boundary treats Unicode letters as word characters while
+RE2's is ASCII-only, so ``1.2.3.4é`` masks under RE2 but not under Java
+— found by the cross-engine differential fuzz
+(tests/test_curation_ops.py). RE2 also has no lookarounds, so
+boundaries are expressed as EXPLICIT captured guard characters
+(``(^|[^0-9.]) … (\\z|[^0-9.])``) re-emitted by the replacement
+(Java ``$1``/RE2 ``\\1`` backrefs — each engine's own syntax, same
+semantics).
+
+Documented limitation of guard-consumption: two PII spans separated by
+a SINGLE delimiter character (``1.2.3.4,5.6.7.8``) mask only the first
+— the guard char is consumed by the first match, so the second lacks
+its left context. Both engines behave identically (the scan resumes
+after the consumed guard in each), and real prose separates spans by
+at least a space + word. The patterns are the standard recall-oriented
+curation shapes, not validators (an over-match costs one masked token;
+an under-match leaks PII into a trained model).
 """
 
 from __future__ import annotations
@@ -17,23 +30,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-IPV4_PAT = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-PHONE_PAT = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}\b"
+# guard classes exclude digits AND dots so a 5-part dotted string never
+# yields a 4-octet prefix match
+IPV4_PAT = r"(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})(\z|[^0-9.])"
+PHONE_PAT = r"(\+[0-9]{1,3}-[0-9]{3}-[0-9]{4})(\z|[^0-9])"
 
 EMAIL_TOKEN = "<EMAIL>"
 IP_TOKEN = "<IP>"
 PHONE_TOKEN = "<PHONE>"
 
+# Java-dialect replacements (Spark). The DuckDB oracle uses \1-style.
+_IP_REPL = "$1" + IP_TOKEN + "$3"
+_PHONE_REPL = PHONE_TOKEN + "$2"
+
 
 def redact_pii_expr(text_col: Column) -> Column:
     """Masked text as one nested regexp_replace chain. Email runs FIRST
     (an IPv4-shaped substring inside a hostname must disappear with the
-    whole address, not leave ``user@<IP>`` behind); phone before bare
-    IPv4 would be wrong the same way if phones contained dots — they
-    don't, so phone/ip order is free; fixed anyway for determinism."""
+    whole address, not leave ``user@<IP>`` behind); ip-then-phone order
+    is free (phones contain no dots) but fixed for determinism."""
     out = F.regexp_replace(text_col, EMAIL_PAT, EMAIL_TOKEN)
-    out = F.regexp_replace(out, IPV4_PAT, IP_TOKEN)
-    return F.regexp_replace(out, PHONE_PAT, PHONE_TOKEN)
+    out = F.regexp_replace(out, IPV4_PAT, _IP_REPL)
+    return F.regexp_replace(out, PHONE_PAT, _PHONE_REPL)
 
 
 def redact_pii(
@@ -46,7 +64,7 @@ def redact_pii(
     email masking), so counts always equal replaced occurrences."""
     t = F.col(text_col)
     after_email = F.regexp_replace(t, EMAIL_PAT, EMAIL_TOKEN)
-    after_ip = F.regexp_replace(after_email, IPV4_PAT, IP_TOKEN)
+    after_ip = F.regexp_replace(after_email, IPV4_PAT, _IP_REPL)
     return df.withColumns(
         {
             "n_emails": F.regexp_count(t, F.lit(EMAIL_PAT)),

@@ -208,3 +208,76 @@ def test_lexical_topk_max_df_prunes_stopwords(spark):
     got = lexical_topk(corpus, queries, k=10, max_df=5).collect()
     # "the" (df=10) is pruned; only w3 matches
     assert [(r.doc_id, r.rank) for r in got] == [(3, 1)]
+
+
+def test_pii_spark_duckdb_differential_fuzz(spark):
+    """Cross-engine differential test: the PII masking chain (email ->
+    ipv4 -> phone, global replace) must produce byte-identical output in
+    Spark (Java regex) and DuckDB (RE2) on adversarial inputs — the
+    pii_redact oracle contract rests on that equivalence. Seeded
+    generator: at-sign pileups, ip-shaped hosts, overlong octets,
+    boundary digits, plus-less phones, unicode neighbors."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(777)
+    locals_ = ["a", "a.b", "a_b%c+d-", "", "A9", "..", "a@b"]
+    hosts_ = ["ex.com", "10.0.0.9.net", "x.CO.uk", "a-b.c", "q", "9.9.9.9", ""]
+    ips = ["1.2.3.4", "255.255.255.255", "256.1.1.1", "01.2.3.4", "1.2.3", "1.2.3.4.5"]
+    phones = ["+1-555-0134", "+44-201-99999", "+999-123-4567", "1-555-0134", "+1-55-0134"]
+    fillers = ["", " ", "x", " word ", "@", ".", "(", "é", "3"]
+    cases = []
+    for _ in range(300):
+        parts = [
+            rng.choice(fillers),
+            rng.choice(locals_) + "@" + rng.choice(hosts_),
+            rng.choice(fillers),
+            rng.choice(ips),
+            rng.choice(fillers),
+            rng.choice(phones),
+            rng.choice(fillers),
+        ]
+        rng.shuffle(parts)
+        cases.append("".join(parts))
+
+    from coap_rfc_knowledge_graph_spark.operators.pii import redact_pii
+
+    sdf = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "doc_id long, text string")
+    sp = {
+        r.doc_id: (r.redacted, r.n_emails, r.n_ips, r.n_phones)
+        for r in redact_pii(sdf).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    rows = con.execute(
+        r"""
+        WITH s1 AS (
+          SELECT i, text,
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                '<EMAIL>', 'g') AS ae
+          FROM t
+        ),
+        s2 AS (
+          SELECT *, regexp_replace(ae,
+                      '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})(\z|[^0-9.])',
+                      '\1<IP>\3', 'g') AS ai
+          FROM s1
+        )
+        SELECT i,
+               regexp_replace(ai, '(\+[0-9]{1,3}-[0-9]{3}-[0-9]{4})(\z|[^0-9])', '<PHONE>\2', 'g'),
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')),
+               len(regexp_extract_all(ae,
+                   '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})(\z|[^0-9.])')),
+               len(regexp_extract_all(ai, '(\+[0-9]{1,3}-[0-9]{3}-[0-9]{4})(\z|[^0-9])'))
+        FROM s2
+        """
+    ).fetchall()
+    mismatches = [
+        (cases[i], sp[i], (red, ne, ni, np_))
+        for i, red, ne, ni, np_ in rows
+        if sp[i] != (red, ne, ni, np_)
+    ]
+    assert not mismatches, mismatches[:5]
