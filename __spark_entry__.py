@@ -929,6 +929,27 @@ def q_lexical_topk(spark, sf_dir):
     return lexical_topk(corpus, queries_df, k=3)
 
 
+_MIX_TARGETS = {"en": 400, "de": 150, "es": 150, "fr": 150, "zh": 150}
+
+
+def q_token_budget(spark, sf_dir):
+    """Per-language token accounting (n_docs, n_tokens, floor-permille
+    corpus share) — one hash aggregate + broadcast scalar join."""
+    from coap_rfc_knowledge_graph_spark.operators.mixture import token_budget
+
+    return token_budget(_t(spark, sf_dir, "documents"), ("lang",))
+
+
+def q_mixture_rates(spark, sf_dir):
+    """Mixing calculator: per-language sampling rates realizing the
+    target token distribution without upsampling (binding group keeps
+    1000‰, others downsample proportionally; exact integers)."""
+    from coap_rfc_knowledge_graph_spark.operators.mixture import mixture_rates, token_budget
+
+    b = token_budget(_t(spark, sf_dir, "documents"), ("lang",))
+    return mixture_rates(b, _MIX_TARGETS, "lang")
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Deterministic integer k-means over the embeddings table (k=8,
     2 iterations, milli-unit quantization): the SemDeDup bucketing
@@ -1002,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
         "graph_two_hop": q_graph_two_hop,
+        "token_budget": q_token_budget,
+        "mixture_rates": q_mixture_rates,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "lm_coverage": q_lm_coverage,
@@ -1682,6 +1705,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT e1.src AS node, CAST(count(DISTINCT e2.dst) AS BIGINT) AS n_two_hop
             FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
             GROUP BY e1.src
+        """,
+        "token_budget": r"""
+            WITH tok AS (
+              SELECT lang,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+              FROM documents
+            ),
+            b AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+              FROM tok GROUP BY lang
+            ),
+            tot AS (SELECT sum(n_tokens) AS t FROM b)
+            SELECT lang, n_docs, n_tokens,
+                   CAST((n_tokens * 1000) // tot.t AS BIGINT) AS share_permille
+            FROM b, tot
+        """,
+        "mixture_rates": r"""
+            WITH tok AS (
+              SELECT lang,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+              FROM documents
+            ),
+            b AS (
+              SELECT lang, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+              FROM tok GROUP BY lang
+            ),
+            wt AS (
+              SELECT lang, n_tokens,
+                     CAST(CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 150
+                          WHEN 'es' THEN 150 WHEN 'fr' THEN 150
+                          WHEN 'zh' THEN 150 ELSE 0 END AS BIGINT) AS tgt
+              FROM b
+            ),
+            c AS (SELECT min((n_tokens * 1000) // tgt) AS c FROM wt WHERE tgt > 0)
+            SELECT lang, n_tokens,
+                   CAST(CASE WHEN tgt = 0 THEN 0
+                        ELSE (tgt * c.c) // n_tokens END AS BIGINT) AS rate_permille
+            FROM wt, c
         """,
         "kmeans_clusters": f"""
             WITH {_kmeans_ctes(k=8, iterations=2)}

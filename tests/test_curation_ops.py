@@ -281,3 +281,47 @@ def test_pii_spark_duckdb_differential_fuzz(spark):
         if sp[i] != (red, ne, ni, np_)
     ]
     assert not mismatches, mismatches[:5]
+
+
+# --- token budget / mixture rates ---------------------------------------------
+
+
+def test_token_budget_counts_and_share(spark):
+    from coap_rfc_knowledge_graph_spark.operators.mixture import token_budget
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "en"), (1, "d e", "en"), (2, "f g h i j", "de")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.lang: r for r in token_budget(docs, ("lang",)).collect()}
+    assert (got["en"].n_docs, got["en"].n_tokens) == (2, 5)
+    assert (got["de"].n_docs, got["de"].n_tokens) == (1, 5)
+    assert got["en"].share_permille == 500 and got["de"].share_permille == 500
+
+
+def test_mixture_rates_binding_group_keeps_all(spark):
+    from coap_rfc_knowledge_graph_spark.operators.mixture import mixture_rates, token_budget
+
+    # en supplies 900 tokens, de 100; target 50/50. de is binding ->
+    # rate_de = 1000, en downsamples to ~100 tokens -> rate ~111
+    docs = spark.createDataFrame(
+        [(i, "w " * 9, "en") for i in range(100)] + [(1000 + i, "w", "de") for i in range(100)],
+        "doc_id long, text string, lang string",
+    )
+    b = token_budget(docs, ("lang",))
+    got = {r.lang: r.rate_permille for r in mixture_rates(b, {"en": 500, "de": 500}, "lang").collect()}
+    assert got["de"] == 1000
+    assert 105 <= got["en"] <= 112  # (500 * C) div 900 with C = 100*1000//500 = 200 -> 111
+    # post-sampling expected tokens: en 900*111/1000 ~ 100 == de's kept 100
+
+
+def test_mixture_rates_drops_untargeted_groups(spark):
+    from coap_rfc_knowledge_graph_spark.operators.mixture import mixture_rates, token_budget
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "en"), (1, "c d", "xx")], "doc_id long, text string, lang string"
+    )
+    got = {r.lang: r.rate_permille for r in mixture_rates(
+        token_budget(docs, ("lang",)), {"en": 1000}, "lang"
+    ).collect()}
+    assert got == {"en": 1000, "xx": 0}

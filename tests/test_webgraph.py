@@ -93,3 +93,30 @@ def test_pagerank_mass_bounded(spark, iters):
     n = e.select("src").union(e.select("dst")).distinct().count()
     total = pagerank_fixedpoint(e, iterations=iters).agg(F.sum("rank")).collect()[0][0]
     assert total <= n * SCALE
+
+
+def test_graph_family_over_real_kg_triples(spark):
+    """The graph operators must run over the ACTUAL flagship KG output,
+    not just the synthetic contract graph: triples -> entity edge table
+    -> PageRank/degrees. Deterministic because the extraction + the
+    quantized linking are (pinned elsewhere); here we assert shape,
+    totals, and that hub entities out-rank the median."""
+    import __spark_entry__ as entry
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import (
+        degree_stats,
+        edges_from_triples,
+        pagerank_fixedpoint,
+    )
+
+    triples = entry.entry(spark)
+    edges = edges_from_triples(triples)
+    n_edges = edges.count()
+    assert n_edges > 100
+    ranks = pagerank_fixedpoint(edges, iterations=2).collect()
+    degs = degree_stats(edges)
+    assert degs.count() == len(ranks)  # same node universe
+    rank_vals = sorted(r.rank for r in ranks)
+    med = rank_vals[len(rank_vals) // 2]
+    top_in = degs.orderBy("in_degree", ascending=False).first().node
+    top_rank = {r.node: r.rank for r in ranks}[top_in]
+    assert top_rank > med  # the most-linked entity out-ranks the median
