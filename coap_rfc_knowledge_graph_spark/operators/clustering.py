@@ -107,9 +107,9 @@ def kmeans_quantized(
     The per-round driver collect is k*dim BIGINTs (bytes); everything
     corpus-sized stays distributed."""
     vecs = quantize_vectors(emb, id_col, vec_col, scale)
-    dim = len(vecs.select("xq").first()["xq"])
     init_rows = vecs.orderBy("id").limit(k).collect()
     centroids = [list(r["xq"]) for r in sorted(init_rows, key=lambda r: r["id"])]
+    dim = len(centroids[0])  # from the init collect — no extra job
     for _ in range(iterations):
         assigned = assign_clusters(vecs, centroids)
         sums = (

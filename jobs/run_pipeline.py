@@ -68,6 +68,21 @@ def main() -> None:
         "pages sharing a 13-token-gram with it are anti-joined away "
         "before extraction (GPT-3-style benchmark decontamination)",
     )
+    ap.add_argument(
+        "--pii-redact",
+        action="store_true",
+        help="mask emails/IPv4s/phones in the text column before "
+        "extraction (Dolma/RefinedWeb-style PII scrub; zero-shuffle "
+        "regexp projections)",
+    )
+    ap.add_argument(
+        "--paragraph-dedup",
+        action="store_true",
+        help="drop every paragraph except its global first occurrence "
+        "(Dolma-style boilerplate removal; paragraphs = blank-line "
+        "blocks, falling back to 64-word windows for unmarked text), "
+        "rewriting each page's text to the surviving paragraphs",
+    )
     args = ap.parse_args()
     if not args.url_curation and (
         args.domain_blocklist or args.head_cap_frac is not None or args.cap_by_registered_domain
@@ -101,6 +116,30 @@ def main() -> None:
             blocklist=blocklist,
             head_cap_frac=args.head_cap_frac,
             cap_by_registered_domain=args.cap_by_registered_domain,
+        )
+    if args.pii_redact:
+        from coap_rfc_knowledge_graph_spark.operators.pii import redact_pii
+
+        pages = (
+            redact_pii(pages)
+            .drop("text", "n_emails", "n_ips", "n_phones")
+            .withColumnRenamed("redacted", "text")
+        )
+    if args.paragraph_dedup:
+        from coap_rfc_knowledge_graph_spark.operators.dedup import (
+            paragraph_dedup,
+            split_paragraphs,
+        )
+
+        # blank-line blocks when the corpus has them; 64-word windows
+        # otherwise (one cheap existence probe decides corpus-wide)
+        has_marks = pages.filter(F.col("text").contains("\n\n")).limit(1).count() > 0
+        paras = split_paragraphs(
+            pages, id_col="url", sep=r"\n{2,}" if has_marks else None, words=64
+        )
+        kept = paragraph_dedup(paras, id_col="url")
+        pages = pages.drop("text").join(
+            kept.select("url", F.col("text_kept").alias("text")), "url"
         )
     if args.clean:
         from coap_rfc_knowledge_graph_spark.operators.text_stats import clean_corpus

@@ -353,3 +353,56 @@ def test_stream_latest_snapshot_matches_batch_over_3_batches(spark, tmp_path):
     assert last["k3"].url == "k3-b"
     # the null-ts crawl neither crashed the query nor counted/won
     assert last["k2"].n_crawls == 1 and last["k2"].url == "k2-a"
+
+
+def test_stateless_curation_ops_compose_in_streaming(spark, tmp_path):
+    """The stateless curation projections (PII masking, hash split,
+    stratified sampling) must compose unchanged onto a readStream — one
+    query chaining all three over micro-batched files must emit exactly
+    the batch result. This is the composability contract that lets the
+    ingest job reuse the same operator objects in both modes."""
+    from coap_rfc_knowledge_graph_spark.operators.pii import redact_pii
+    from coap_rfc_knowledge_graph_spark.operators.sampling import (
+        hash_split,
+        stratified_exact_sample,
+    )
+
+    rows = [
+        (i, f"doc {i} mail u{i}@ex{i % 3}.com at 10.0.0.{i % 250}", ["en", "de", "fr"][i % 3])
+        for i in range(60)
+    ]
+    src = str(tmp_path / "cur_src")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").repartition(
+        4
+    ).write.parquet(src)
+
+    def curate(df):
+        masked = redact_pii(df)
+        split = hash_split(masked)
+        return stratified_exact_sample(split, "lang", {"en": 1000, "de": 500}).select(
+            "doc_id", "lang", "split", "redacted", "n_emails", "n_ips"
+        )
+
+    batch = {tuple(r) for r in curate(spark.read.parquet(src)).collect()}
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "cur_out")
+    ckpt = str(tmp_path / "cur_ckpt")
+    q = (
+        curate(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == batch and len(got) > 0
+    # every emitted row is masked and deterministically split
+    assert all("@" not in r[3] for r in got)

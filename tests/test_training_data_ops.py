@@ -648,3 +648,34 @@ def test_dup_clusters_matches_union_find_on_random_graph(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs).collect()}
     assert got == expected
+
+
+def test_pii_and_paragraph_dedup_on_pages_by_url(spark):
+    """The jobs/run_pipeline.py --pii-redact and --paragraph-dedup
+    pre-pass shapes: PII masked in place, then blank-line paragraphs
+    deduped to their global first occurrence with text rewritten."""
+    from coap_rfc_knowledge_graph_spark.operators.dedup import (
+        paragraph_dedup,
+        split_paragraphs,
+    )
+    from coap_rfc_knowledge_graph_spark.operators.pii import redact_pii
+
+    rows = [
+        ("https://a.com/1", None, "intro para\n\nshared footer text", "en"),
+        ("https://b.com/2", None, "other para\n\nshared footer text\n\nmail x@y.com", "en"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string, lang string")
+    masked = (
+        redact_pii(pages)
+        .drop("text", "n_emails", "n_ips", "n_phones")
+        .withColumnRenamed("redacted", "text")
+    )
+    paras = split_paragraphs(masked, id_col="url", sep=r"\n{2,}")
+    kept = paragraph_dedup(paras, id_col="url")
+    out = {r.url: r for r in masked.drop("text").join(
+        kept.select("url", "text_kept"), "url"
+    ).collect()}
+    assert out["https://a.com/1"].text_kept == "intro para shared footer text"
+    # b loses the footer (a.com/1 saw it first, url order) but keeps its
+    # own paragraphs with the email masked
+    assert out["https://b.com/2"].text_kept == "other para mail <EMAIL>"
