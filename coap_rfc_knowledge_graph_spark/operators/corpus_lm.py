@@ -16,6 +16,13 @@ Two scoring forms:
   log-probability (float; deterministic given the LM but not
   cross-engine hashable — tested against a numpy reference instead).
 
+Cross-engine caveat (found by the tokenization differential fuzz in
+tests/test_curation_ops.py): Java's lower() applies Unicode
+SpecialCasing to U+0130 ('İ' -> 'i' + combining dot) where DuckDB's
+yields plain 'i' — the DuckDB oracles for every tokenizing operator
+here are exact for text WITHOUT U+0130; Spark's Unicode-correct
+behavior is the engine of record.
+
 Scale shape (10^12 documents):
 - training is one explode + one hash aggregate with map-side partial
   combine (shuffle carries one row per distinct bigram per map task).

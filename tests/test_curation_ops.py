@@ -325,3 +325,51 @@ def test_mixture_rates_drops_untargeted_groups(spark):
         token_budget(docs, ("lang",)), {"en": 1000}, "lang"
     ).collect()}
     assert got == {"en": 1000, "xx": 0}
+
+
+def test_tokenization_spark_duckdb_differential_fuzz(spark):
+    """The lm_coverage / lexical_topk / token_budget oracles all rest on
+    `filter(split(lower(text), '\\s+'), t <> '')` behaving identically
+    in Spark and DuckDB. Differential-fuzz that primitive: unicode case
+    folding (lower), exotic whitespace, leading/trailing separators,
+    empty strings.
+
+    KNOWN divergence (found by this fuzz, documented here as the
+    contract boundary): Java's lower('\u0130' U+0130) follows Unicode
+    SpecialCasing and yields 'i' + U+0307 combining dot; DuckDB's
+    utf8proc yields plain 'i'. The assertion therefore requires that
+    EVERY mismatch involves U+0130 — any other divergence class is a
+    new bug. Spark's (Unicode-correct) behavior is the engine of
+    record; the DuckDB oracles are exact for text without U+0130."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(999)
+    atoms = [
+        "word", "WORD", "Wörd", "ÉTÉ", "İstanbul", "ß", "ΣΙΓΜΑ", "x",
+        "", " ", "\t", "\n", "\r\n", " ", " ", "  ", "a-b", "1.2",
+    ]
+    cases = ["".join(rng.choice(atoms) for _ in range(rng.randint(0, 12))) for _ in range(300)]
+
+    sdf = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, text string")
+    sp = {
+        r.i: list(r.toks)
+        for r in sdf.select(
+            "i",
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "").alias("toks"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    rows = con.execute(
+        r"SELECT i, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') FROM t"
+    ).fetchall()
+    mismatches = [(cases[i], sp[i], list(d)) for i, d in rows if sp[i] != list(d)]
+    unexplained = [m for m in mismatches if "\u0130" not in m[0]]
+    assert not unexplained, unexplained[:5]
+    # and the U+0130 divergence itself must exist — if a DuckDB upgrade
+    # starts matching Java here, this fires so the caveat can be removed
+    assert any("\u0130" in c for c in cases)
+    assert mismatches, "U+0130 divergence vanished — update the documented contract boundary"
