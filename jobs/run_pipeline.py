@@ -97,8 +97,46 @@ def main() -> None:
 
     from coap_rfc_knowledge_graph_spark.plans.checkpointing import run_resumable
 
+    # under spark-submit there is no session yet and we own the one we
+    # create; when embedded (tests, notebooks) getOrCreate returns the
+    # caller's session, which is not ours to stop
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName(args.app_name).getOrCreate()
     pages = spark.read.parquet(args.pages)
+
+    def apply_prepasses(pages):
+        return _apply_prepasses(spark, pages, args, F)
+
+    prepass_active = (
+        args.url_curation
+        or args.clean
+        or args.decontaminate
+        or args.pii_redact
+        or args.paragraph_dedup
+    )
+    if prepass_active:
+        # the curation pre-passes run through the SAME lineage-manifest
+        # store as the extraction stages: at 100 TB a crashed curation
+        # pass must resume from its committed snapshot, not recompute
+        from coap_rfc_knowledge_graph_spark.plans.checkpointing import StageStore
+
+        store0 = StageStore(args.out)
+        if store0.has("curated_pages"):
+            pages = store0.read(spark, "curated_pages")
+        else:
+            pages = store0.write(apply_prepasses(pages), "curated_pages", inputs=["pages"])
+    store = run_resumable(spark, pages, args.out, url_partitions=args.url_partitions)
+    report = (["curated_pages"] if prepass_active else []) + [
+        "sentences", "mentions", "triples", "entities", "rules", "edges", "contradictions",
+    ]
+    for stage in report:
+        m = store.manifest(stage)
+        print(f"{stage}: rows={m['row_count']} hash={m['table_hash']}")
+    if owns_session:
+        spark.stop()
+
+
+def _apply_prepasses(spark, pages, args, F):
     if args.url_curation:
         from coap_rfc_knowledge_graph_spark.operators.webtext import curate_urls
 
@@ -153,11 +191,7 @@ def main() -> None:
             F.col("doc_id").alias("url")
         )
         pages = pages.join(flagged, on="url", how="left_anti")
-    store = run_resumable(spark, pages, args.out, url_partitions=args.url_partitions)
-    for stage in ["sentences", "mentions", "triples", "entities", "rules", "edges", "contradictions"]:
-        m = store.manifest(stage)
-        print(f"{stage}: rows={m['row_count']} hash={m['table_hash']}")
-    spark.stop()
+    return pages
 
 
 if __name__ == "__main__":

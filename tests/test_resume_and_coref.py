@@ -88,3 +88,45 @@ def test_resolve_coreferences(spark):
     r = got[0]
     assert r["sent_id"] == 1 and r["pronoun"] == "it"
     assert "CoAP Server" in r["antecedent"]
+
+
+def test_job_prepass_runs_through_stage_store(spark, tmp_path):
+    """jobs/run_pipeline.py with curation flags must write the composed
+    pre-pass as a 'curated_pages' stage (lineage manifest + committed
+    parquet) and SKIP it on resume — a crashed 100-TB curation pass
+    restarts from its snapshot, not from scratch."""
+    import os
+    import sys
+
+    base = "the quick brown fox is happy to run for miles in the field with a friend today"
+    rows = [
+        (f"https://s{i % 3}.com/p{i}", None, f"mail u{i}@x.com and then {base} episode number {i}", "en")
+        for i in range(20)
+    ]
+    src = str(tmp_path / "pages_src")
+    spark.createDataFrame(rows, "url string, html binary, text string, lang string").write.parquet(src)
+    out = str(tmp_path / "state")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    import run_pipeline
+
+    argv = ["run_pipeline.py", "--pages", src, "--out", out, "--pii-redact", "--clean"]
+    old = sys.argv
+    try:
+        sys.argv = argv
+        run_pipeline.main()
+        from coap_rfc_knowledge_graph_spark.plans.checkpointing import StageStore
+
+        store = StageStore(out)
+        assert store.has("curated_pages")
+        m1 = store.manifest("curated_pages")
+        assert m1["row_count"] > 0 and m1["inputs"] == ["pages"]
+        # masked text committed in the snapshot
+        snap = store.read(spark, "curated_pages")
+        assert snap.filter(snap.text.contains("@")).count() == 0
+        written_at = m1["written_at"]
+        sys.argv = argv
+        run_pipeline.main()  # resume: stage must be skipped, not rewritten
+        assert store.manifest("curated_pages")["written_at"] == written_at
+    finally:
+        sys.argv = old
