@@ -1719,7 +1719,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             tot AS (SELECT sum(n_tokens) AS t FROM b)
             SELECT lang, n_docs, n_tokens,
-                   CAST((n_tokens * 1000) // tot.t AS BIGINT) AS share_permille
+                   CAST((n_tokens * 1000) // nullif(tot.t, 0) AS BIGINT) AS share_permille
             FROM b, tot
         """,
         "mixture_rates": r"""
@@ -1739,9 +1739,10 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 'zh' THEN 150 ELSE 0 END AS BIGINT) AS tgt
               FROM b
             ),
-            c AS (SELECT min((n_tokens * 1000) // tgt) AS c FROM wt WHERE tgt > 0)
+            c AS (SELECT min((n_tokens * 1000) // tgt) AS c FROM wt
+                  WHERE tgt > 0 AND n_tokens > 0)
             SELECT lang, n_tokens,
-                   CAST(CASE WHEN tgt = 0 THEN 0
+                   CAST(CASE WHEN tgt = 0 OR n_tokens = 0 THEN 0
                         ELSE (tgt * c.c) // n_tokens END AS BIGINT) AS rate_permille
             FROM wt, c
         """,
@@ -1829,19 +1830,27 @@ def oracle_sql() -> dict[str, str]:
             step2 AS (
               SELECT *, regexp_replace(after_email,
                           '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})(\z|[^0-9.])',
-                          '\1<IP>\3', 'g') AS after_ip
+                          '\1<IP>\3', 'g') AS after_ip1
               FROM step
+            ),
+            step3 AS (
+              SELECT *, regexp_replace(after_ip1,
+                          '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})(\z|[^0-9.])',
+                          '\1<IP>\3', 'g') AS after_ip
+              FROM step2
             )
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
                    CAST(len(regexp_extract_all(after_email,
+                        '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})(\z|[^0-9.])'))
+                   + len(regexp_extract_all(after_ip1,
                         '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})(\z|[^0-9.])')) AS INT) AS n_ips,
                    CAST(len(regexp_extract_all(after_ip,
                         '(\+[0-9]{1,3}-[0-9]{3}-[0-9]{4})(\z|[^0-9])')) AS INT) AS n_phones,
                    regexp_replace(after_ip, '(\+[0-9]{1,3}-[0-9]{3}-[0-9]{4})(\z|[^0-9])',
                                   '<PHONE>\2', 'g') AS redacted
-            FROM step2
+            FROM step3
         """,
         "hash_split": """
             SELECT doc_id,

@@ -98,11 +98,14 @@ def kmeans_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = VEC_SCALE,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Deterministic integer k-means: init = the k lowest-id vectors
     (quantized), then ``iterations`` rounds of {assign, truncated-mean
     update}; empty clusters keep their previous centroid. Returns
-    (id, cluster) under the FINAL centroids.
+    (id, cluster) under the FINAL centroids — plus the quantized vector
+    ``xq`` when ``keep_vec`` (so semantic_dedup consumes the assignment
+    WITHOUT re-quantizing the corpus and joining it back).
 
     The per-round driver collect is k*dim BIGINTs (bytes); everything
     corpus-sized stays distributed."""
@@ -131,9 +134,10 @@ def kmeans_quantized(
                     [_trunc_div(dims[p][0], dims[p][1]) for p in range(dim)]
                 )
         centroids = new_centroids
-    return assign_clusters(vecs, centroids).select(
-        F.col("id").alias(id_col), F.col("cluster").cast("int").alias("cluster")
-    )
+    out_cols = [F.col("id").alias(id_col), F.col("cluster").cast("int").alias("cluster")]
+    if keep_vec:
+        out_cols.append(F.col("xq"))
+    return assign_clusters(vecs, centroids).select(*out_cols)
 
 
 def semantic_dedup(
@@ -155,11 +159,9 @@ def semantic_dedup(
 
     The pair join is an equi-join on the cluster id; nothing crosses
     clusters. The cosine re-check is native zip_with/aggregate codegen."""
-    assigned = kmeans_quantized(emb, k, iterations, id_col, vec_col, scale)
-    vecs = quantize_vectors(emb, id_col, vec_col, scale)
-    both = assigned.join(
-        vecs.withColumnRenamed("id", id_col), id_col
-    ).select(F.col(id_col).alias("id"), "cluster", "xq")
+    both = kmeans_quantized(emb, k, iterations, id_col, vec_col, scale, keep_vec=True).select(
+        F.col(id_col).alias("id"), "cluster", "xq"
+    )
     a = both.select(F.col("id").alias("ia"), "cluster", F.col("xq").alias("va"))
     b = both.select(F.col("id").alias("ib"), "cluster", F.col("xq").alias("vb"))
     dot = F.aggregate(
@@ -175,10 +177,9 @@ def semantic_dedup(
         .select(F.col("ib").alias("id"))
         .distinct()
     )
-    return both.join(dups, "id", "left_anti").select(
-        F.col("id").alias(id_col), "cluster", F.lit(True).alias("keep")
-    ).unionByName(
-        both.join(dups, "id", "left_semi").select(
-            F.col("id").alias(id_col), "cluster", F.lit(False).alias("keep")
-        )
+    # one left join derives keep (dup-set miss == keep), instead of an
+    # anti-join + semi-join + union that scans `both` twice
+    dup_marks = dups.withColumn("__dup", F.lit(True))
+    return both.join(dup_marks, "id", "left").select(
+        F.col("id").alias(id_col), "cluster", F.col("__dup").isNull().alias("keep")
     )

@@ -43,7 +43,9 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text_col: str):
-    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    from ..functions.tokens import tokens_expr
+
+    return tokens_expr(text_col)
 
 
 def doc_bigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.tokens import tokens_expr
+
 # --- exact dedup --------------------------------------------------------------
 
 
@@ -87,16 +89,25 @@ def exact_duplicates(
     )
 
 
-def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep one representative (min id) per identical text. Window-free:
-    min-id per hash + semi-join keeps the plan to two hash aggregates."""
-    keep = (
+def exact_keep_ids(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The exact-dedup KEEP SET: one min-id row per distinct text
+    (single column named ``id_col``), ready to semi-join against any
+    projection of the same corpus. THE one definition of the exact keep
+    rule — ``dedup_exact`` and ``text_stats.clean_corpus`` both
+    semi-join against it, so a change (hash function, tie-break) cannot
+    desynchronize the two paths. One md5 projection + two hash aggs."""
+    return (
         docs.select(F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__h"))
         .groupBy("__h")
         .agg(F.min("__id").alias("__keep"))
         .select(F.col("__keep").alias(id_col))
     )
-    return docs.join(keep, on=id_col, how="leftsemi")
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per identical text. Window-free:
+    min-id per hash + semi-join keeps the plan to two hash aggregates."""
+    return docs.join(exact_keep_ids(docs, id_col, text_col), on=id_col, how="leftsemi")
 
 
 # --- character shingles (shared) ----------------------------------------------
@@ -451,9 +462,7 @@ def simhash_fingerprint_native(
     toks = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-            ).alias("t"),
+            F.explode(tokens_expr(text_col)).alias("t"),
         )
         .select(
             "doc_id",
@@ -579,7 +588,7 @@ def token_ngram_hashes_expr(text_col, n: int = 13):
     tokens -> sliding n-grams -> 60-bit md5-prefix ints (engine-exact,
     the same hash family as the *_native operators — DuckDB computes
     identical values). Empty array when the text has < n tokens."""
-    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    toks = tokens_expr(text_col)
     grams = F.when(
         F.size(toks) >= n,
         F.transform(

@@ -26,15 +26,20 @@ def token_budget(
     """Per-group (n_docs, n_tokens, share_permille): whitespace token
     totals with the group's floor-permille share of the corpus. One
     aggregate + a broadcast scalar join."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    from ..functions.tokens import tokens_expr
+
+    toks = tokens_expr(text_col)
     counts = docs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        # coalesce: a group of all-null text sums to null, not 0
+        F.coalesce(F.sum(F.size(toks)), F.lit(0)).cast("long").alias("n_tokens"),
     )
     total = counts.agg(F.sum("n_tokens").alias("__total"))
     return (
         counts.crossJoin(F.broadcast(total))
-        .withColumn("share_permille", F.expr("(n_tokens * 1000) div __total"))
+        # nullif: an all-empty corpus (total 0) yields null shares, not
+        # an ANSI DIVIDE_BY_ZERO that kills the whole accounting job
+        .withColumn("share_permille", F.expr("(n_tokens * 1000) div nullif(__total, 0)"))
         .drop("__total")
     )
 
@@ -53,7 +58,11 @@ def mixture_rates(
         rate_g = (target_g * C) div n_tokens_g      (<= 1000 by C's def)
 
     Exact integers throughout; groups absent from ``targets_permille``
-    get rate 0 (dropped from the mix). Output: (group, n_tokens,
+    get rate 0 (dropped from the mix). A targeted group with ZERO token
+    supply (all-empty text) also gets rate 0 and is excluded from the
+    binding-group min — it cannot supply tokens, and including it would
+    both drive C (hence every rate) to 0 and divide by its own zero
+    n_tokens, an ANSI-mode DIVIDE_BY_ZERO. Output: (group, n_tokens,
     rate_permille)."""
     t = None
     for k, v in sorted(targets_permille.items()):
@@ -61,16 +70,16 @@ def mixture_rates(
     t = F.lit(0) if t is None else t.otherwise(0)
     with_t = budget.withColumn("__target", t.cast("long"))
     c = (
-        with_t.filter(F.col("__target") > 0)
+        with_t.filter((F.col("__target") > 0) & (F.col("n_tokens") > 0))
         .select(F.min(F.expr("(n_tokens * 1000) div __target")).alias("__c"))
     )
     return (
         with_t.crossJoin(F.broadcast(c))
         .withColumn(
             "rate_permille",
-            F.when(F.col("__target") == 0, F.lit(0).cast("long")).otherwise(
-                F.expr("(__target * __c) div n_tokens")
-            ),
+            F.when(
+                (F.col("__target") == 0) | (F.col("n_tokens") == 0), F.lit(0).cast("long")
+            ).otherwise(F.expr("(__target * __c) div n_tokens")),
         )
         .select(group_col, "n_tokens", "rate_permille")
     )

@@ -14,14 +14,23 @@ boundaries are expressed as EXPLICIT captured guard characters
 (Java ``$1``/RE2 ``\\1`` backrefs — each engine's own syntax, same
 semantics).
 
-Documented limitation of guard-consumption: two PII spans separated by
-a SINGLE delimiter character (``1.2.3.4,5.6.7.8``) mask only the first
-— the guard char is consumed by the first match, so the second lacks
-its left context. Both engines behave identically (the scan resumes
-after the consumed guard in each), and real prose separates spans by
-at least a space + word. The patterns are the standard recall-oriented
-curation shapes, not validators (an over-match costs one masked token;
-an under-match leaks PII into a trained model).
+Guard-consumption and the second IPv4 pass: when two IPs are separated
+by a SINGLE delimiter character (``1.2.3.4 5.6.7.8`` — server lists and
+log dumps are common in crawl text), the first match's scan consumes
+the delimiter as its right guard, so the second IP lacks left context
+and survives one replace pass. The IPv4 replace therefore runs TWICE:
+every span left unmasked by pass one is, in pass one's OUTPUT, preceded
+by a re-emitted guard or a token character (guards are restored by the
+``$1 … $3`` replacement), so a second identical pass provably masks the
+rest — chains of any length alternate masked/unmasked per pass and the
+leftovers are never themselves guard-adjacent. Identical semantics in
+Java regex and RE2, checked by the cross-engine fuzz. Email needs no
+guards; the phone pattern's left edge is the literal ``+`` (its own
+anchor), so neither chains this way.
+
+The patterns are the standard recall-oriented curation shapes, not
+validators (an over-match costs one masked token; an under-match leaks
+PII into a trained model).
 """
 
 from __future__ import annotations
@@ -51,6 +60,9 @@ def redact_pii_expr(text_col: Column) -> Column:
     is free (phones contain no dots) but fixed for determinism."""
     out = F.regexp_replace(text_col, EMAIL_PAT, EMAIL_TOKEN)
     out = F.regexp_replace(out, IPV4_PAT, _IP_REPL)
+    # second pass: spans whose left guard was consumed by a neighbouring
+    # match in pass one (see module docstring)
+    out = F.regexp_replace(out, IPV4_PAT, _IP_REPL)
     return F.regexp_replace(out, PHONE_PAT, _PHONE_REPL)
 
 
@@ -64,11 +76,15 @@ def redact_pii(
     email masking), so counts always equal replaced occurrences."""
     t = F.col(text_col)
     after_email = F.regexp_replace(t, EMAIL_PAT, EMAIL_TOKEN)
-    after_ip = F.regexp_replace(after_email, IPV4_PAT, _IP_REPL)
+    after_ip1 = F.regexp_replace(after_email, IPV4_PAT, _IP_REPL)
+    after_ip = F.regexp_replace(after_ip1, IPV4_PAT, _IP_REPL)
     return df.withColumns(
         {
             "n_emails": F.regexp_count(t, F.lit(EMAIL_PAT)),
-            "n_ips": F.regexp_count(after_email, F.lit(IPV4_PAT)),
+            # both passes' matches count (pass two catches guard-consumed
+            # neighbours), keeping counts == replaced occurrences
+            "n_ips": F.regexp_count(after_email, F.lit(IPV4_PAT))
+            + F.regexp_count(after_ip1, F.lit(IPV4_PAT)),
             "n_phones": F.regexp_count(after_ip, F.lit(PHONE_PAT)),
             out_col: redact_pii_expr(t),
         }

@@ -34,7 +34,9 @@ IDF_SCALE = 1_000_000
 
 
 def _terms(text_col: str):
-    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    from ..functions.tokens import tokens_expr
+
+    return tokens_expr(text_col)
 
 
 def term_postings(
@@ -48,8 +50,9 @@ def term_postings(
     )
 
 
-def doc_freq(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(term, df): documents containing the term."""
+def doc_freq(postings: DataFrame) -> DataFrame:
+    """(term, df): documents containing the term. Row-count per term is
+    exact because ``term_postings`` emits one row per (term, doc)."""
     return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
 
@@ -68,7 +71,7 @@ def lexical_topk(
     doc_id asc. Queries whose terms all miss (or were all df-pruned)
     emit no rows."""
     postings = term_postings(corpus, id_col, text_col)
-    dfreq = doc_freq(postings, id_col)
+    dfreq = doc_freq(postings)
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= max_df)
     weighted = postings.join(dfreq, "term").withColumn(

@@ -305,14 +305,11 @@ def clean_corpus(
     # are pure functions of text, so byte-identical docs share the gate
     # outcome: min-id per hash over raw equals min-id per hash over the
     # survivors, and non-surviving hashes' keep ids simply match nothing
-    # in the semi-join. Build side = one md5 projection + two hash aggs.
-    keep = (
-        docs.select(F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__h"))
-        .groupBy("__h")
-        .agg(F.min("__id").alias("__keep"))
-        .select(F.col("__keep").alias(id_col))
-    )
-    return gated.join(keep, on=id_col, how="leftsemi")
+    # in the semi-join. The keep rule itself is dedup.exact_keep_ids —
+    # the SAME definition dedup_exact semi-joins against.
+    from .dedup import exact_keep_ids
+
+    return gated.join(exact_keep_ids(docs, id_col, text_col), on=id_col, how="leftsemi")
 
 
 def winnowing_overlap(

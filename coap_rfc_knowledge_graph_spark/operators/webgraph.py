@@ -120,7 +120,13 @@ def pagerank_fixedpoint(
     """
     base = (scale * (damp_den - damp_num)) // damp_den
     if prepartition:
-        edges = edges.repartition(prepartition, "src").persist()
+        # localCheckpoint, NOT persist(): CacheManager retains a persisted
+        # plan until an explicit unpersist, so repeated calls in a long-
+        # lived session would pin one cached edge table per call (the
+        # ADVICE-r3 leak fixed in linking.py). Checkpointed blocks are
+        # released by the ContextCleaner once the returned plan is GC'd,
+        # and the lineage cut serves the same reuse-across-iterations goal.
+        edges = edges.repartition(prepartition, "src").localCheckpoint(eager=False)
     out_d = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )

@@ -47,15 +47,25 @@ class StageStore:
     def manifest_path(self, stage: str) -> str:
         return os.path.join(self._dir(stage), "manifest.json")
 
-    def has(self, stage: str) -> bool:
+    def has(self, stage: str, params: dict | None = None) -> bool:
+        """True iff the stage committed completely — and, when ``params``
+        is given, was produced under the SAME parameters. A stage whose
+        output depends on run configuration (curation flags, blocklist
+        content) must pass its params here AND to :meth:`write`;
+        otherwise resuming with different flags would silently reuse the
+        stale snapshot (e.g. --pii-redact added after a --clean run
+        would never mask anything)."""
         p = self.manifest_path(stage)
         if not os.path.exists(p):
             return False
         try:
             with open(p) as fh:
-                return bool(json.load(fh).get("complete"))
+                m = json.load(fh)
         except (OSError, json.JSONDecodeError):
             return False
+        if not m.get("complete"):
+            return False
+        return params is None or m.get("params") == params
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self._dir(stage), "data"))
@@ -70,6 +80,7 @@ class StageStore:
         stage: str,
         inputs: list[str] | None = None,
         partition_by: str | None = None,
+        params: dict | None = None,
     ) -> DataFrame:
         """Materialize ``df`` as the stage output; publish the manifest
         last. Returns the re-read DataFrame (so downstream stages consume
@@ -105,6 +116,7 @@ class StageStore:
         manifest = {
             "stage": stage,
             "inputs": inputs or [],
+            "params": params,
             "schema": committed.schema.simpleString(),
             "row_count": sum(p["rows"] for p in partitions),
             # order- AND partitioning-insensitive multiset digest

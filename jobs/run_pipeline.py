@@ -117,14 +117,36 @@ def main() -> None:
     if prepass_active:
         # the curation pre-passes run through the SAME lineage-manifest
         # store as the extraction stages: at 100 TB a crashed curation
-        # pass must resume from its committed snapshot, not recompute
+        # pass must resume from its committed snapshot, not recompute.
+        # The snapshot is keyed on the prepass configuration (flags +
+        # blocklist content + eval-table path): resuming with DIFFERENT
+        # flags recomputes instead of silently reusing a stale snapshot
+        # (e.g. adding --pii-redact after a --clean run must re-mask).
+        import hashlib
+
         from coap_rfc_knowledge_graph_spark.plans.checkpointing import StageStore
 
+        blocklist_digest = None
+        if args.domain_blocklist:
+            with open(args.domain_blocklist, "rb") as fh:
+                blocklist_digest = hashlib.sha256(fh.read()).hexdigest()
+        prepass_params = {
+            "url_curation": bool(args.url_curation),
+            "domain_blocklist_sha256": blocklist_digest,
+            "head_cap_frac": args.head_cap_frac,
+            "cap_by_registered_domain": bool(args.cap_by_registered_domain),
+            "pii_redact": bool(args.pii_redact),
+            "paragraph_dedup": bool(args.paragraph_dedup),
+            "clean": bool(args.clean),
+            "decontaminate": args.decontaminate,
+        }
         store0 = StageStore(args.out)
-        if store0.has("curated_pages"):
+        if store0.has("curated_pages", params=prepass_params):
             pages = store0.read(spark, "curated_pages")
         else:
-            pages = store0.write(apply_prepasses(pages), "curated_pages", inputs=["pages"])
+            pages = store0.write(
+                apply_prepasses(pages), "curated_pages", inputs=["pages"], params=prepass_params
+            )
     store = run_resumable(spark, pages, args.out, url_partitions=args.url_partitions)
     report = (["curated_pages"] if prepass_active else []) + [
         "sentences", "mentions", "triples", "entities", "rules", "edges", "contradictions",

@@ -210,6 +210,26 @@ def test_lexical_topk_max_df_prunes_stopwords(spark):
     assert [(r.doc_id, r.rank) for r in got] == [(3, 1)]
 
 
+def test_pii_adjacent_spans_all_masked(spark):
+    """Space- or comma-separated IP runs (server lists, log dumps) must
+    be FULLY masked: one replace pass leaks every second span because
+    the left guard char is consumed by the neighbouring match — the
+    second IPv4 pass closes that (review r4). Chains longer than two
+    and the count column are pinned too."""
+    from coap_rfc_knowledge_graph_spark.operators.pii import redact_pii
+
+    rows = [
+        (0, "1.2.3.4 5.6.7.8"),
+        (1, "1.1.1.1,2.2.2.2,3.3.3.3,4.4.4.4,5.5.5.5"),
+        (2, "srv 10.0.0.1 10.0.0.2 10.0.0.3 10.0.0.4 end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.redacted, r.n_ips) for r in redact_pii(df).collect()}
+    assert got[0] == ("<IP> <IP>", 2)
+    assert got[1] == ("<IP>,<IP>,<IP>,<IP>,<IP>", 5)
+    assert got[2] == ("srv <IP> <IP> <IP> <IP> end", 4)
+
+
 def test_pii_spark_duckdb_differential_fuzz(spark):
     """Cross-engine differential test: the PII masking chain (email ->
     ipv4 -> phone, global replace) must produce byte-identical output in
@@ -263,16 +283,24 @@ def test_pii_spark_duckdb_differential_fuzz(spark):
         s2 AS (
           SELECT *, regexp_replace(ae,
                       '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})(\z|[^0-9.])',
-                      '\1<IP>\3', 'g') AS ai
+                      '\1<IP>\3', 'g') AS ai1
           FROM s1
+        ),
+        s3 AS (
+          SELECT *, regexp_replace(ai1,
+                      '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})(\z|[^0-9.])',
+                      '\1<IP>\3', 'g') AS ai
+          FROM s2
         )
         SELECT i,
                regexp_replace(ai, '(\+[0-9]{1,3}-[0-9]{3}-[0-9]{4})(\z|[^0-9])', '<PHONE>\2', 'g'),
                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')),
                len(regexp_extract_all(ae,
+                   '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})(\z|[^0-9.])'))
+               + len(regexp_extract_all(ai1,
                    '(^|[^0-9.])([0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})(\z|[^0-9.])')),
                len(regexp_extract_all(ai, '(\+[0-9]{1,3}-[0-9]{3}-[0-9]{4})(\z|[^0-9])'))
-        FROM s2
+        FROM s3
         """
     ).fetchall()
     mismatches = [

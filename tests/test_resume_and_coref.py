@@ -128,5 +128,14 @@ def test_job_prepass_runs_through_stage_store(spark, tmp_path):
         sys.argv = argv
         run_pipeline.main()  # resume: stage must be skipped, not rewritten
         assert store.manifest("curated_pages")["written_at"] == written_at
+        # DIFFERENT flags must NOT reuse the stale snapshot: dropping
+        # --pii-redact changes the curated output, so the stage recomputes
+        # and the committed text carries the (unmasked) emails again
+        sys.argv = ["run_pipeline.py", "--pages", src, "--out", out, "--clean"]
+        run_pipeline.main()
+        m2 = store.manifest("curated_pages")
+        assert m2["written_at"] != written_at and m2["params"]["pii_redact"] is False
+        snap2 = store.read(spark, "curated_pages")
+        assert snap2.filter(snap2.text.contains("@")).count() > 0
     finally:
         sys.argv = old
