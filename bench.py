@@ -203,6 +203,7 @@ def main() -> None:
         # round-4 additions: graph analytics + curation scoring ops
         from coap_rfc_knowledge_graph_spark.operators.corpus_lm import (
             lm_coverage,
+            prune_top_bigrams,
             train_bigram_lm,
         )
         from coap_rfc_knowledge_graph_spark.operators.dedup import (
@@ -218,6 +219,19 @@ def main() -> None:
             "lm_coverage",
             lambda: lm_coverage(
                 docs, train_bigram_lm(docs.filter(F.col("doc_id") % 10 < 8))
+            ).agg(F.avg("sum_match_count")).collect(),
+            repeat=2,
+        )
+        # the 100-TB plan: top-M vocabulary cut (two-level, no global
+        # sort) + broadcast LM — scoring pass has NO corpus-side shuffle
+        timed(
+            "lm_coverage_bounded",
+            lambda: lm_coverage(
+                docs,
+                prune_top_bigrams(
+                    train_bigram_lm(docs.filter(F.col("doc_id") % 10 < 8)), 50_000
+                ),
+                broadcast_lm=True,
             ).agg(F.avg("sum_match_count")).collect(),
             repeat=2,
         )

@@ -77,11 +77,29 @@ def train_bigram_lm(
 
 def prune_top_bigrams(lm: DataFrame, top_m: int) -> DataFrame:
     """Top-M vocabulary cut (count desc, bigram asc tiebreak) — bounds
-    the LM so scoring can broadcast it. Deterministic total order; the
-    global window is dictionary-sized by construction (same class as
-    the excused dict-encode rank)."""
-    w = Window.orderBy(F.desc("cnt"), F.asc("bigram"))
-    return lm.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= top_m).drop("__r")
+    the LM so scoring can broadcast it.
+
+    Two-level selection, NOT a global ``Window.orderBy``: a raw web
+    bigram LM is corpus-sized (distinct bigrams grow with the crawl),
+    so a global window would funnel the whole LM through one task.
+    Level 1 takes the top M per partition in parallel (every global
+    top-M row is necessarily in its own partition's top M, so no
+    candidate is lost); level 2 re-ranks the <= M * n_partitions
+    survivors — bounded by construction, the only single-task step.
+    Same deterministic total order as the naive form."""
+    per_part = Window.partitionBy("__pid").orderBy(F.desc("cnt"), F.asc("bigram"))
+    candidates = (
+        lm.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__r", F.row_number().over(per_part))
+        .filter(F.col("__r") <= top_m)
+        .drop("__pid", "__r")
+    )
+    final = Window.orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        candidates.withColumn("__r", F.row_number().over(final))
+        .filter(F.col("__r") <= top_m)
+        .drop("__r")
+    )
 
 
 def lm_coverage(

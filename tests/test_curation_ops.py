@@ -60,6 +60,23 @@ def test_lm_coverage_broadcast_path_equal_and_broadcasts(spark):
     assert "BroadcastHashJoin" in b_df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_prune_top_bigrams_two_level_equals_global_order(spark):
+    """The two-level top-M (per-partition candidates -> bounded final
+    rank) must equal the naive global order exactly, including the
+    (cnt desc, bigram asc) tie-break, across partitionings — the raw
+    LM is corpus-sized, so the old global Window was a single-task
+    sort on the scale path."""
+    ref = _docs(
+        spark,
+        [(i, f"t{i % 17} t{(i * 7) % 17} t{(i * 3) % 17} t{i % 5}") for i in range(200)],
+    )
+    lm = train_bigram_lm(ref)
+    for parts in (1, 7, 32):
+        got = prune_top_bigrams(lm.repartition(parts), top_m=10).collect()
+        expected = sorted(lm.collect(), key=lambda r: (-r.cnt, r.bigram))[:10]
+        assert sorted(map(tuple, got)) == sorted(map(tuple, expected)), parts
+
+
 def test_lm_logprob_matches_pure_python(spark):
     ref_texts = ["a b a b c", "b c a a"]
     texts = ["a b c", "c c c", "a"]
