@@ -929,6 +929,63 @@ def q_lexical_topk(spark, sf_dir):
     return lexical_topk(corpus, queries_df, k=3)
 
 
+def q_dsir_evidence(spark, sf_dir):
+    """DSIR importance evidence, exact-integer form: target LM on the
+    20% doc_id % 10 < 2 slice, raw LM on the whole corpus; every doc
+    scored by (total, matched-in-each, summed-count-in-each) — the
+    integer numerators of the log importance ratio."""
+    from coap_rfc_knowledge_graph_spark.operators.corpus_lm import train_bigram_lm
+    from coap_rfc_knowledge_graph_spark.operators.data_selection import dsir_evidence
+
+    docs = _t(spark, sf_dir, "documents")
+    target = train_bigram_lm(docs.filter(F.col("doc_id") % 10 < 2))
+    raw = train_bigram_lm(docs)
+    return dsir_evidence(docs, target, raw)
+
+
+def q_coverage_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing: rank by LM match rate (an IEEE
+    division of two exact integers — cross-engine bit-identical), cut
+    into 10 quantile buckets via integer DIV. Distributed two-stage
+    rank, no global sort."""
+    from coap_rfc_knowledge_graph_spark.operators.corpus_lm import train_bigram_lm
+    from coap_rfc_knowledge_graph_spark.operators.data_selection import coverage_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 10 < 8))
+    return coverage_buckets(docs, lm, n_buckets=10)
+
+
+def q_dsir_resample(spark, sf_dir):
+    """Gumbel-top-k importance resample (k=100) over the DSIR weights —
+    float Gumbel keys, so no cross-engine hash oracle; determinism +
+    selection content are pinned by tests/test_data_selection.py and the
+    sha256 table in tests/test_triples_native.py."""
+    from coap_rfc_knowledge_graph_spark.operators.corpus_lm import train_bigram_lm
+    from coap_rfc_knowledge_graph_spark.operators.data_selection import (
+        dsir_resample,
+        dsir_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = train_bigram_lm(docs.filter(F.col("doc_id") % 10 < 2))
+    raw = train_bigram_lm(docs)
+    w = dsir_weights(docs, target, raw)
+    return dsir_resample(w, k=100).select("doc_id", "total_bigrams")
+
+
+def q_shard_counts(spark, sf_dir):
+    """Per-shard manifest of the packed-sequence writer (64 windows of
+    128 tokens per shard): window/slice/token counts, all integer."""
+    from coap_rfc_knowledge_graph_spark.operators.pretrain import (
+        pack_sequences,
+        shard_counts,
+    )
+
+    packed = pack_sequences(_t(spark, sf_dir, "documents"), context_len=128)
+    return shard_counts(packed, windows_per_shard=64)
+
+
 _MIX_TARGETS = {"en": 400, "de": 150, "es": 150, "fr": 150, "zh": 150}
 
 
@@ -1028,6 +1085,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "lm_coverage": q_lm_coverage,
+        "dsir_evidence": q_dsir_evidence,
+        "coverage_buckets": q_coverage_buckets,
+        "dsir_resample": q_dsir_resample,
+        "shard_counts": q_shard_counts,
         "paragraph_dedup": q_paragraph_dedup,
         "pii_redact": q_pii_redact,
         "hash_split": q_hash_split,
@@ -1785,6 +1846,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(COALESCE(lm.cnt, 0)) AS BIGINT) AS sum_match_count
             FROM g LEFT JOIN lm USING (bigram)
             GROUP BY g.doc_id
+        """,
+        "dsir_evidence": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, unnest(
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                            ELSE [] END) AS bigram
+              FROM tok
+            ),
+            t AS (
+              SELECT bigram, CAST(count(*) AS BIGINT) AS t_cnt
+              FROM g WHERE doc_id % 10 < 2 GROUP BY bigram
+            ),
+            r AS (
+              SELECT bigram, CAST(count(*) AS BIGINT) AS r_cnt
+              FROM g GROUP BY bigram
+            )
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS total_bigrams,
+                   CAST(count(t.t_cnt) AS BIGINT) AS matched_target,
+                   CAST(count(r.r_cnt) AS BIGINT) AS matched_raw,
+                   CAST(sum(COALESCE(t.t_cnt, 0)) AS BIGINT) AS sum_target_cnt,
+                   CAST(sum(COALESCE(r.r_cnt, 0)) AS BIGINT) AS sum_raw_cnt
+            FROM g LEFT JOIN t USING (bigram) LEFT JOIN r USING (bigram)
+            GROUP BY g.doc_id
+        """,
+        "coverage_buckets": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, unnest(
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                            ELSE [] END) AS bigram
+              FROM tok
+            ),
+            lm AS (
+              SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+              FROM g WHERE doc_id % 10 < 8 GROUP BY bigram
+            ),
+            cov AS (
+              SELECT g.doc_id,
+                     CAST(count(*) AS BIGINT) AS total_bigrams,
+                     CAST(count(lm.cnt) AS BIGINT) AS matched_bigrams,
+                     CAST(sum(COALESCE(lm.cnt, 0)) AS BIGINT) AS sum_match_count
+              FROM g LEFT JOIN lm USING (bigram)
+              GROUP BY g.doc_id
+            ),
+            ranked AS (
+              SELECT *,
+                     CAST(row_number() OVER (
+                       ORDER BY -(CAST(sum_match_count AS DOUBLE) / total_bigrams), doc_id
+                     ) - 1 AS BIGINT) AS "rank",
+                     CAST(count(*) OVER () AS BIGINT) AS n
+              FROM cov
+            )
+            SELECT doc_id, total_bigrams, matched_bigrams, sum_match_count,
+                   "rank", CAST(("rank" * 10) // n AS BIGINT) AS bucket
+            FROM ranked
+        """,
+        "shard_counts": r"""
+            WITH counted AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+              FROM documents
+            ),
+            started AS (
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+              FROM counted WHERE n_tokens > 0
+            ),
+            fan AS (
+              SELECT doc_id, n_tokens, start, CAST(w AS BIGINT) AS window_id
+              FROM started, LATERAL (
+                SELECT unnest(range(start // 128, (start + n_tokens - 1) // 128 + 1)) AS w
+              ) t
+            ),
+            slices AS (
+              SELECT window_id,
+                     CAST(least(n_tokens, (window_id + 1) * 128 - start)
+                          - greatest(0, window_id * 128 - start) AS BIGINT) AS slice_len
+              FROM fan
+            )
+            SELECT CAST(window_id // 64 AS BIGINT) AS shard,
+                   CAST(count(DISTINCT window_id) AS BIGINT) AS n_windows,
+                   CAST(count(*) AS BIGINT) AS n_slices,
+                   CAST(sum(slice_len) AS BIGINT) AS n_tokens
+            FROM slices
+            GROUP BY 1
         """,
         "paragraph_dedup": """
             WITH s AS (

@@ -241,6 +241,29 @@ def main() -> None:
             .agg(F.sum("n_kept")).collect(),
             repeat=2,
         )
+        # DSIR selection: one corpus explode, two LM joins, one re-agg;
+        # bucketing adds the distributed two-stage rank on top
+        from coap_rfc_knowledge_graph_spark.operators.data_selection import (
+            coverage_buckets,
+            dsir_evidence,
+        )
+
+        timed(
+            "dsir_evidence",
+            lambda: dsir_evidence(
+                docs,
+                train_bigram_lm(docs.filter(F.col("doc_id") % 10 < 2)),
+                train_bigram_lm(docs),
+            ).agg(F.avg("sum_target_cnt")).collect(),
+            repeat=2,
+        )
+        timed(
+            "coverage_buckets",
+            lambda: coverage_buckets(
+                docs, train_bigram_lm(docs.filter(F.col("doc_id") % 10 < 8)), 10
+            ).agg(F.max("bucket")).collect(),
+            repeat=2,
+        )
         rqueries = docs.filter(F.col("doc_id") % 500 == 7).select(
             F.col("doc_id").alias("query_id"), "text"
         )

@@ -1,0 +1,220 @@
+"""Training-data SELECTION over the curated corpus — the step between
+cleaning and tokenization in an LLM data pipeline:
+
+- DSIR-style importance weighting (Xie et al., "Data Selection for
+  Language Models via Importance Resampling", 2023): weight every raw
+  document by how target-like its n-gram distribution is
+  (log p_target(doc) - log p_raw(doc) under bag-of-bigrams models),
+  then Gumbel-top-k resample. Here both models are the repo's
+  distributed bigram LMs (``operators.corpus_lm``); the hashed-feature
+  variant of the paper is the same join shape with ``pmod(xxhash64)``
+  bucketing.
+- CCNet-style perplexity bucketing (Wenzek et al., 2020): rank every
+  document by its LM score and cut the corpus into head/middle/tail
+  quantile buckets. The ranking is the repo's distributed
+  ``zip_with_rank`` (no single-task global sort), and the ordering key
+  is an exact-integer-derived double (sum_match_count/total_bigrams:
+  both < 2^53, so the IEEE division is correctly rounded and
+  bit-identical in Spark and DuckDB — the bucket assignment is
+  hash-verified by the driver).
+
+Scale shape (10^12 documents):
+- ``dsir_evidence`` / ``dsir_weights``: one bigram explode of the
+  corpus, two LEFT joins against the (pruned, broadcastable) LMs, one
+  hash re-aggregate on doc id. With ``broadcast_lms=True`` the corpus
+  side never shuffles.
+- ``dsir_weights`` additionally needs three LM-sized scalar aggregates
+  (target total, raw total, union vocabulary) — one pass each over the
+  LMs, never over the corpus.
+- ``dsir_resample``: the Gumbel key is a pure projection (congruential
+  draw on xxhash64(id) — deterministic and partitioning-independent);
+  selection is the two-level top-k (per-partition candidates, then a
+  bounded final rank over <= k * n_partitions rows), so no corpus-sized
+  single-task sort.
+- ``coverage_buckets``: lm_coverage (above) + distributed rank +
+  integer-DIV bucket assignment. The only driver-side job is one
+  count() for the corpus size (same class as ``nsp_pairs``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.ranking import zip_with_rank
+from .corpus_lm import doc_bigrams, lm_coverage
+
+_MOD = 2147483647  # Park-Miller modulus, shared with operators.pretrain
+_MULT = 48271
+
+
+def dsir_evidence(
+    docs: DataFrame,
+    target_lm: DataFrame,
+    raw_lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_lms: bool = False,
+) -> DataFrame:
+    """Per-document DSIR evidence, all BIGINT (engine-exact, so the
+    driver hash-verifies it against DuckDB):
+
+    - total_bigrams:   bigram occurrences in the document
+    - matched_target / matched_raw: occurrences known to each LM
+    - sum_target_cnt / sum_raw_cnt: summed LM training counts over the
+      matches — the integer numerators of the importance ratio (a
+      document whose transitions are common in the TARGET corpus but
+      rare in the RAW corpus is the one DSIR up-weights).
+
+    Documents with < 2 tokens emit no row. Pass ``broadcast_lms=True``
+    after ``prune_top_bigrams`` to keep the corpus side shuffle-free."""
+    grams = doc_bigrams(docs, id_col, text_col)
+    t = target_lm.select("bigram", F.col("cnt").alias("t_cnt"))
+    r = raw_lm.select("bigram", F.col("cnt").alias("r_cnt"))
+    if broadcast_lms:
+        t, r = F.broadcast(t), F.broadcast(r)
+    return (
+        grams.join(t, "bigram", "left")
+        .join(r, "bigram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_bigrams"),
+            F.count("t_cnt").alias("matched_target"),
+            F.count("r_cnt").alias("matched_raw"),
+            F.sum(F.coalesce("t_cnt", F.lit(0))).alias("sum_target_cnt"),
+            F.sum(F.coalesce("r_cnt", F.lit(0))).alias("sum_raw_cnt"),
+        )
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lm: DataFrame,
+    raw_lm: DataFrame,
+    alpha: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_lms: bool = False,
+) -> DataFrame:
+    """(id, total_bigrams, log_weight): the DSIR importance weight
+    proper —
+
+        log_weight = sum_occ [ ln((c_t(g)+a)/(T+aV)) - ln((c_r(g)+a)/(R+aV)) ]
+
+    with c_t/c_r the LM counts, T/R their totals, V the union
+    vocabulary, a the smoothing. Float output: deterministic given the
+    LMs but not cross-engine hashable — the integer evidence
+    (:func:`dsir_evidence`) is the driver-verified face; this is tested
+    against a pure-Python reference."""
+    tot_t = target_lm.agg(F.sum("cnt")).collect()[0][0] or 0
+    tot_r = raw_lm.agg(F.sum("cnt")).collect()[0][0] or 0
+    vocab_v = (
+        target_lm.select("bigram").union(raw_lm.select("bigram")).distinct().count()
+    ) or 1
+    grams = doc_bigrams(docs, id_col, text_col)
+    t = target_lm.select("bigram", F.col("cnt").alias("t_cnt"))
+    r = raw_lm.select("bigram", F.col("cnt").alias("r_cnt"))
+    if broadcast_lms:
+        t, r = F.broadcast(t), F.broadcast(r)
+    lp_t = F.log(F.coalesce("t_cnt", F.lit(0)) + F.lit(alpha)) - F.lit(
+        math.log(tot_t + alpha * vocab_v)
+    )
+    lp_r = F.log(F.coalesce("r_cnt", F.lit(0)) + F.lit(alpha)) - F.lit(
+        math.log(tot_r + alpha * vocab_v)
+    )
+    return (
+        grams.join(t, "bigram", "left")
+        .join(r, "bigram", "left")
+        .withColumn("__lw", lp_t - lp_r)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_bigrams"),
+            F.sum("__lw").alias("log_weight"),
+        )
+    )
+
+
+def _gumbel(id_col: str):
+    """Standard Gumbel noise from a congruential draw on xxhash64(id):
+    deterministic, partitioning-independent, type-generic in the id.
+    u = (draw+1)/(MOD+1) lies in (0, 1) strictly, so -ln(-ln(u)) is
+    always finite."""
+    d = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1048576))
+    draw = F.pmod((d * F.lit(524287) + F.lit(29)) * F.lit(_MULT), F.lit(_MOD))
+    u = (draw + F.lit(1)).cast("double") / F.lit(float(_MOD + 1))
+    return -F.log(-F.log(u))
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel-top-k resampling: sample k documents WITHOUT replacement
+    with probability proportional to exp(weight/temperature), via the
+    Gumbel-max trick (key = weight/temperature + Gumbel noise; the top
+    k keys are exactly such a sample). The noise is a deterministic
+    congruential draw on the id, so the selection is reproducible and
+    partitioning-independent (pinned by test).
+
+    Selection is the two-level top-k — per-partition candidates first,
+    then a bounded final rank over <= k * n_partitions survivors — so
+    the corpus never funnels through one task. Ties (impossible for
+    distinct ids with continuous noise, but belt-and-braces) break by
+    id ascending."""
+    keyed = weights.withColumn(
+        "gumbel_key", F.col(weight_col) / F.lit(float(temperature)) + _gumbel(id_col)
+    )
+    per_part = Window.partitionBy("__pid").orderBy(F.desc("gumbel_key"), F.asc(id_col))
+    candidates = (
+        keyed.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__r", F.row_number().over(per_part))
+        .filter(F.col("__r") <= k)
+        .drop("__pid", "__r")
+    )
+    final = Window.orderBy(F.desc("gumbel_key"), F.asc(id_col))
+    return (
+        candidates.withColumn("__r", F.row_number().over(final))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def coverage_buckets(
+    docs: DataFrame,
+    lm: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_lm: bool = False,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing on the exact-integer LM
+    coverage score: rank documents by match rate descending
+    (sum_match_count / total_bigrams — an IEEE division of two exact
+    integers, so bit-identical cross-engine), tie-broken by id, and
+    assign bucket = (rank * n_buckets) DIV corpus_size. Bucket 0 is the
+    most-reference-like head. Output is all-integer (id, the three
+    coverage columns, rank, bucket) — driver hash-verified.
+
+    Scale: lm_coverage's one explode+join+agg, then the distributed
+    two-stage rank (``zip_with_rank`` — parallel windows + broadcast
+    offsets, no global sort). The corpus-size count() is the one
+    driver-side job."""
+    cov = lm_coverage(docs, lm, id_col, text_col, broadcast_lm)
+    rated = cov.withColumn(
+        "__neg_rate",
+        -(F.col("sum_match_count").cast("double") / F.col("total_bigrams")),
+    )
+    n_total = rated.count()
+    if n_total == 0:
+        return cov.withColumn("rank", F.lit(0).cast("long")).withColumn(
+            "bucket", F.lit(0).cast("long")
+        )
+    ranked = zip_with_rank(rated, ["__neg_rate", id_col], idx_col="rank")
+    return ranked.withColumn(
+        "bucket", F.expr(f"(rank * {int(n_buckets)}) DIV {int(n_total)}")
+    ).drop("__neg_rate")

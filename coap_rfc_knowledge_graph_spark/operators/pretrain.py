@@ -205,3 +205,49 @@ def pack_sequences(docs: DataFrame, context_len: int = 128) -> DataFrame:
         (slice_end - slice_start).cast("long").alias("slice_len"),
         win_offset.cast("long").alias("win_offset"),
     )
+
+
+def assign_shards(packed: DataFrame, windows_per_shard: int = 1024) -> DataFrame:
+    """Add ``shard``: the training-output file each packed window lands
+    in — shard = window_id DIV windows_per_shard (integer division, so
+    every shard except the last holds exactly ``windows_per_shard``
+    windows = windows_per_shard * context_len tokens). Dense window ids
+    from :func:`pack_sequences` make the shards size-balanced by
+    construction — no sampling, no skew. Pure projection."""
+    return packed.withColumn(
+        "shard", F.expr(f"window_id DIV {int(windows_per_shard)}")
+    )
+
+
+def shard_counts(packed: DataFrame, windows_per_shard: int = 1024) -> DataFrame:
+    """Per-shard manifest (shard, n_windows, n_slices, n_tokens) — the
+    writer's size audit: every shard but the last must hold the same
+    window count, and n_tokens = sum of slice lengths is the exact
+    token payload. One hash aggregate; driver hash-verified."""
+    return (
+        assign_shards(packed, windows_per_shard)
+        .groupBy("shard")
+        .agg(
+            F.countDistinct("window_id").alias("n_windows"),
+            F.count(F.lit(1)).alias("n_slices"),
+            F.sum("slice_len").alias("n_tokens"),
+        )
+    )
+
+
+def write_packed_shards(
+    packed: DataFrame, path: str, windows_per_shard: int = 1024
+) -> None:
+    """Materialize the packing map as one parquet directory per shard
+    (``shard=N/``), windows contiguous within each shard:
+    repartitionByRange on (shard, window_id) co-locates each shard's
+    rows before the partitioned write, so a 10^12-token run emits
+    size-balanced files with no post-hoc compaction."""
+    (
+        assign_shards(packed, windows_per_shard)
+        .repartitionByRange("shard", "window_id")
+        .sortWithinPartitions("shard", "window_id", "win_offset")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -51,6 +51,11 @@ FLAGSHIP_HASHES = {
     "kg_direct_type2": (4, "c508c7650d4ff9726a3a107f36e0ffc0ab7788f39e1e566bb8fa3d08f3f54f7a"),
     "kg_direct_type3": (3, "9a4127c35c2d91bb72cc61003a90f3fb328044f0067e8e1d342a57966a886cf3"),
     "kg_conditional": (4, "8b3e17db1ad06ab12242e3a17dada5c474a4fb504138d55de0fbbd07b5ce146d"),
+    # round 4: the Gumbel-top-k DSIR resample is the one rows-only entry
+    # in the data-selection family (float Gumbel keys aren't cross-engine
+    # hashable); its selection content is pinned here instead — verified
+    # identical at local[3] and local[8]
+    "dsir_resample": (100, "83d510cbaf6fb332c5dc92a55a5451a5980c9896d553ef5518e6044fdf7ddf2b"),
 }
 
 
