@@ -76,6 +76,24 @@ def main() -> None:
         "regexp projections)",
     )
     ap.add_argument(
+        "--lm-select-permille",
+        type=int,
+        default=None,
+        metavar="P",
+        help="CCNet-style selection: keep only the P permille of pages "
+        "whose bigram LM coverage ranks highest (the low-perplexity "
+        "head). Runs LAST among the pre-passes, over the already "
+        "cleaned/deduped text. Pages with fewer than two tokens are "
+        "unscoreable and dropped.",
+    )
+    ap.add_argument(
+        "--lm-reference",
+        metavar="REF_PARQUET",
+        default=None,
+        help="with --lm-select-permille: train the LM on this trusted "
+        "reference table (url, text) instead of the page corpus itself",
+    )
+    ap.add_argument(
         "--paragraph-dedup",
         action="store_true",
         help="drop every paragraph except its global first occurrence "
@@ -91,6 +109,10 @@ def main() -> None:
             "--domain-blocklist/--head-cap-frac/--cap-by-registered-domain "
             "require --url-curation (they would otherwise be silently ignored)"
         )
+    if args.lm_select_permille is not None and not 0 < args.lm_select_permille <= 1000:
+        ap.error("--lm-select-permille must be in (0, 1000]")
+    if args.lm_reference and args.lm_select_permille is None:
+        ap.error("--lm-reference requires --lm-select-permille")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -113,6 +135,7 @@ def main() -> None:
         or args.decontaminate
         or args.pii_redact
         or args.paragraph_dedup
+        or args.lm_select_permille is not None
     )
     if prepass_active:
         # the curation pre-passes run through the SAME lineage-manifest
@@ -139,6 +162,8 @@ def main() -> None:
             "paragraph_dedup": bool(args.paragraph_dedup),
             "clean": bool(args.clean),
             "decontaminate": args.decontaminate,
+            "lm_select_permille": args.lm_select_permille,
+            "lm_reference": args.lm_reference,
         }
         store0 = StageStore(args.out)
         if store0.has("curated_pages", params=prepass_params):
@@ -213,6 +238,22 @@ def _apply_prepasses(spark, pages, args, F):
             F.col("doc_id").alias("url")
         )
         pages = pages.join(flagged, on="url", how="left_anti")
+    if args.lm_select_permille is not None:
+        from coap_rfc_knowledge_graph_spark.operators.corpus_lm import (
+            prune_top_bigrams,
+            train_bigram_lm,
+        )
+        from coap_rfc_knowledge_graph_spark.operators.data_selection import (
+            coverage_buckets,
+        )
+
+        # production shape: top-1M vocabulary cut + broadcast LM, so the
+        # scoring pass never shuffles the page corpus
+        ref = spark.read.parquet(args.lm_reference) if args.lm_reference else pages
+        lm = prune_top_bigrams(train_bigram_lm(ref, id_col="url"), 1_000_000)
+        buckets = coverage_buckets(pages, lm, n_buckets=1000, id_col="url", broadcast_lm=True)
+        keep = buckets.filter(F.col("bucket") < args.lm_select_permille).select("url")
+        pages = pages.join(keep, on="url", how="left_semi")
     return pages
 
 

@@ -194,6 +194,40 @@ def test_plan_shapes(spark):
 # --- shard assignment -------------------------------------------------------------
 
 
+def test_job_lm_select_prepass(spark):
+    """--lm-select-permille 500 keeps exactly the top half of pages by
+    LM coverage: the corpus-typical pages survive, the junk tail goes."""
+    import argparse
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+    )
+    import run_pipeline
+
+    rows = [
+        (f"https://good/{i}", None, "the quick brown fox jumps over the lazy dog", "en")
+        for i in range(10)
+    ] + [
+        (f"https://junk/{i}", None, f"zz{i} qq{i * 7} ww{i * 13} ee{i * 31}", "en")
+        for i in range(10)
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string, lang string")
+    args = argparse.Namespace(
+        url_curation=False,
+        pii_redact=False,
+        paragraph_dedup=False,
+        clean=False,
+        decontaminate=None,
+        lm_select_permille=500,
+        lm_reference=None,
+    )
+    kept = run_pipeline._apply_prepasses(spark, pages, args, F)
+    urls = sorted(r.url for r in kept.select("url").collect())
+    assert urls == sorted(f"https://good/{i}" for i in range(10))
+
+
 def test_shard_counts_balanced(spark):
     docs = _docs(spark, [(i, " ".join(f"t{j}" for j in range(50))) for i in range(20)])
     packed = pack_sequences(docs, context_len=100)  # 1000 tokens -> 10 windows
