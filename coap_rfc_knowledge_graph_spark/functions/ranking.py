@@ -53,6 +53,31 @@ def zip_with_rank(df: DataFrame, order_cols: list[str], idx_col: str = "idx") ->
     )
 
 
+def two_level_topk(df: DataFrame, order_by: list, k: int) -> DataFrame:
+    """Global top-k under ``order_by`` (a list of Column sort
+    expressions forming a deterministic total order) WITHOUT a global
+    sort: level 1 takes the top k per partition in parallel (every
+    global top-k row is necessarily in its own partition's top k, so no
+    candidate is lost); level 2 re-ranks the <= k * n_partitions
+    survivors — bounded by construction, the only single-task step.
+    Exactly equal to the naive ``Window.orderBy`` form, including
+    tie-breaks. Shared by ``corpus_lm.prune_top_bigrams`` and
+    ``data_selection.dsir_resample``."""
+    per_part = Window.partitionBy("__pid").orderBy(*order_by)
+    candidates = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__r", F.row_number().over(per_part))
+        .filter(F.col("__r") <= k)
+        .drop("__pid", "__r")
+    )
+    final = Window.orderBy(*order_by)
+    return (
+        candidates.withColumn("__r", F.row_number().over(final))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
 def zip_with_cumsum(
     df: DataFrame, order_cols: list[str], value_col: str, out_col: str = "cum"
 ) -> DataFrame:

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -79,27 +79,14 @@ def prune_top_bigrams(lm: DataFrame, top_m: int) -> DataFrame:
     """Top-M vocabulary cut (count desc, bigram asc tiebreak) — bounds
     the LM so scoring can broadcast it.
 
-    Two-level selection, NOT a global ``Window.orderBy``: a raw web
-    bigram LM is corpus-sized (distinct bigrams grow with the crawl),
-    so a global window would funnel the whole LM through one task.
-    Level 1 takes the top M per partition in parallel (every global
-    top-M row is necessarily in its own partition's top M, so no
-    candidate is lost); level 2 re-ranks the <= M * n_partitions
-    survivors — bounded by construction, the only single-task step.
-    Same deterministic total order as the naive form."""
-    per_part = Window.partitionBy("__pid").orderBy(F.desc("cnt"), F.asc("bigram"))
-    candidates = (
-        lm.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__r", F.row_number().over(per_part))
-        .filter(F.col("__r") <= top_m)
-        .drop("__pid", "__r")
-    )
-    final = Window.orderBy(F.desc("cnt"), F.asc("bigram"))
-    return (
-        candidates.withColumn("__r", F.row_number().over(final))
-        .filter(F.col("__r") <= top_m)
-        .drop("__r")
-    )
+    Two-level selection (shared ``ranking.two_level_topk``), NOT a
+    global ``Window.orderBy``: a raw web bigram LM is corpus-sized
+    (distinct bigrams grow with the crawl), so a global window would
+    funnel the whole LM through one task. Same deterministic total
+    order as the naive form, tie-breaks included."""
+    from ..functions.ranking import two_level_topk
+
+    return two_level_topk(lm, [F.desc("cnt"), F.asc("bigram")], top_m)
 
 
 def lm_coverage(

@@ -40,14 +40,13 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.ranking import zip_with_rank
+from ..functions.ranking import two_level_topk, zip_with_rank
 from .corpus_lm import doc_bigrams, lm_coverage
 
-_MOD = 2147483647  # Park-Miller modulus, shared with operators.pretrain
-_MULT = 48271
+_U_MOD = 1 << 62  # Gumbel draw granularity (fits bigint; > double mantissa)
 
 
 def dsir_evidence(
@@ -108,6 +107,12 @@ def dsir_weights(
     LMs but not cross-engine hashable — the integer evidence
     (:func:`dsir_evidence`) is the driver-verified face; this is tested
     against a pure-Python reference."""
+    # checkpoint both LMs first: the totals job, the vocab job, and the
+    # final scoring join all consume them — without this the raw LM (a
+    # whole-corpus explode + aggregate) would re-evaluate three times
+    # (the clean_corpus double-evaluation bug class)
+    target_lm = target_lm.localCheckpoint(eager=True)
+    raw_lm = raw_lm.localCheckpoint(eager=True)
     tot_t = target_lm.agg(F.sum("cnt")).collect()[0][0] or 0
     tot_r = raw_lm.agg(F.sum("cnt")).collect()[0][0] or 0
     vocab_v = (
@@ -137,13 +142,16 @@ def dsir_weights(
 
 
 def _gumbel(id_col: str):
-    """Standard Gumbel noise from a congruential draw on xxhash64(id):
-    deterministic, partitioning-independent, type-generic in the id.
-    u = (draw+1)/(MOD+1) lies in (0, 1) strictly, so -ln(-ln(u)) is
-    always finite."""
-    d = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1048576))
-    draw = F.pmod((d * F.lit(524287) + F.lit(29)) * F.lit(_MULT), F.lit(_MOD))
-    u = (draw + F.lit(1)).cast("double") / F.lit(float(_MOD + 1))
+    """Standard Gumbel noise from a salted xxhash64 of the id:
+    deterministic, partitioning-independent, type-generic in the id,
+    and 62-bit granular — a bucketed congruential draw here (the first
+    cut used pmod 2^20) would hand colliding ids byte-identical noise,
+    making within-equal-weight selection deterministic-by-id instead of
+    proportional at corpus scale. The salt decorrelates this draw from
+    every other xxhash64(id) use in the engine. u = (m+1)/(2^62+2) lies
+    strictly inside (0, 1), so -ln(-ln(u)) is always finite."""
+    m = F.pmod(F.xxhash64(F.col(id_col), F.lit(29)), F.lit(_U_MOD))
+    u = (m + F.lit(1)).cast("double") / F.lit(float(_U_MOD + 2))
     return -F.log(-F.log(u))
 
 
@@ -161,27 +169,15 @@ def dsir_resample(
     congruential draw on the id, so the selection is reproducible and
     partitioning-independent (pinned by test).
 
-    Selection is the two-level top-k — per-partition candidates first,
-    then a bounded final rank over <= k * n_partitions survivors — so
-    the corpus never funnels through one task. Ties (impossible for
-    distinct ids with continuous noise, but belt-and-braces) break by
-    id ascending."""
+    Selection is the shared two-level top-k (``ranking.two_level_topk``
+    — per-partition candidates, then a bounded final rank over
+    <= k * n_partitions survivors), so the corpus never funnels through
+    one task. Key collisions (two ids sharing both weight and the
+    62-bit noise draw) break by id ascending."""
     keyed = weights.withColumn(
         "gumbel_key", F.col(weight_col) / F.lit(float(temperature)) + _gumbel(id_col)
     )
-    per_part = Window.partitionBy("__pid").orderBy(F.desc("gumbel_key"), F.asc(id_col))
-    candidates = (
-        keyed.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__r", F.row_number().over(per_part))
-        .filter(F.col("__r") <= k)
-        .drop("__pid", "__r")
-    )
-    final = Window.orderBy(F.desc("gumbel_key"), F.asc(id_col))
-    return (
-        candidates.withColumn("__r", F.row_number().over(final))
-        .filter(F.col("__r") <= k)
-        .drop("__r")
-    )
+    return two_level_topk(keyed, [F.desc("gumbel_key"), F.asc(id_col)], k)
 
 
 def coverage_buckets(

@@ -153,6 +153,30 @@ def main() -> None:
         if args.domain_blocklist:
             with open(args.domain_blocklist, "rb") as fh:
                 blocklist_digest = hashlib.sha256(fh.read()).hexdigest()
+        lm_reference_digest = None
+        if args.lm_reference:
+            # content-key the reference table like the blocklist: a
+            # reference rewritten IN PLACE must recompute the selection,
+            # not silently reuse the stale snapshot. Hashing data files'
+            # (name, size, mtime_ns) is cheap at any table size and
+            # changes on any rewrite.
+            import os
+
+            entries = []
+            if os.path.isdir(args.lm_reference):
+                for root, _, files in os.walk(args.lm_reference):
+                    for f in sorted(files):
+                        p = os.path.join(root, f)
+                        st = os.stat(p)
+                        entries.append(
+                            f"{os.path.relpath(p, args.lm_reference)}\x1f{st.st_size}\x1f{st.st_mtime_ns}"
+                        )
+            else:
+                st = os.stat(args.lm_reference)
+                entries.append(f".\x1f{st.st_size}\x1f{st.st_mtime_ns}")
+            lm_reference_digest = hashlib.sha256(
+                "\x1e".join(sorted(entries)).encode()
+            ).hexdigest()
         prepass_params = {
             "url_curation": bool(args.url_curation),
             "domain_blocklist_sha256": blocklist_digest,
@@ -164,6 +188,7 @@ def main() -> None:
             "decontaminate": args.decontaminate,
             "lm_select_permille": args.lm_select_permille,
             "lm_reference": args.lm_reference,
+            "lm_reference_sha256": lm_reference_digest,
         }
         store0 = StageStore(args.out)
         if store0.has("curated_pages", params=prepass_params):
@@ -247,6 +272,11 @@ def _apply_prepasses(spark, pages, args, F):
             coverage_buckets,
         )
 
+        # checkpoint first: LM training (when self-referenced), scoring,
+        # and the final semi join all consume `pages` — without this the
+        # whole upstream pre-pass lineage (PII regexes, paragraph dedup,
+        # clean gates, decontamination) would re-evaluate three times
+        pages = pages.localCheckpoint(eager=False)
         # production shape: top-1M vocabulary cut + broadcast LM, so the
         # scoring pass never shuffles the page corpus
         ref = spark.read.parquet(args.lm_reference) if args.lm_reference else pages

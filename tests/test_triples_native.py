@@ -54,8 +54,10 @@ FLAGSHIP_HASHES = {
     # round 4: the Gumbel-top-k DSIR resample is the one rows-only entry
     # in the data-selection family (float Gumbel keys aren't cross-engine
     # hashable); its selection content is pinned here instead — verified
-    # identical at local[3] and local[8]
-    "dsir_resample": (100, "83d510cbaf6fb332c5dc92a55a5451a5980c9896d553ef5518e6044fdf7ddf2b"),
+    # identical at local[3] and local[8]. Re-pinned after widening the
+    # noise draw from a 2^20-bucketed congruential to salted 62-bit
+    # xxhash64 (review finding: bucket-colliding ids shared noise).
+    "dsir_resample": (100, "bcb9a6cd14783e93bc5c282c3ffe67bcc3a3165b15652d7cfcd4cc1cbd5e4863"),
 }
 
 
