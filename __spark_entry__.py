@@ -929,6 +929,20 @@ def q_lexical_topk(spark, sf_dir):
     return lexical_topk(corpus, queries_df, k=3)
 
 
+def q_line_dedup(spark, sf_dir):
+    """RefinedWeb within-document repeated-line removal over 8-word
+    windows: first occurrence per (doc, content) survives; per-doc
+    totals + rejoined text. The doc id is in the shuffle key, so
+    cross-page boilerplate cannot form a hot key."""
+    from coap_rfc_knowledge_graph_spark.operators.dedup import (
+        dedup_lines_in_doc,
+        split_paragraphs,
+    )
+
+    paras = split_paragraphs(_t(spark, sf_dir, "documents"), words=8)
+    return dedup_lines_in_doc(paras)
+
+
 def q_dsir_evidence(spark, sf_dir):
     """DSIR importance evidence, exact-integer form: target LM on the
     20% doc_id % 10 < 2 slice, raw LM on the whole corpus; every doc
@@ -1086,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "lm_coverage": q_lm_coverage,
         "dsir_evidence": q_dsir_evidence,
+        "line_dedup": q_line_dedup,
         "coverage_buckets": q_coverage_buckets,
         "dsir_resample": q_dsir_resample,
         "shard_counts": q_shard_counts,
@@ -1846,6 +1861,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(COALESCE(lm.cnt, 0)) AS BIGINT) AS sum_match_count
             FROM g LEFT JOIN lm USING (bigram)
             GROUP BY g.doc_id
+        """,
+        "line_dedup": """
+            WITH s AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            p0 AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS para_id,
+                     array_to_string(toks[i*8+1 : i*8+8], ' ') AS paragraph
+              FROM s, LATERAL (SELECT unnest(range(CAST(ceil(len(toks)/8.0) AS INT))) AS i) g
+            ),
+            p AS (SELECT *, md5(paragraph) AS h FROM p0 WHERE paragraph <> ''),
+            kept AS (
+              SELECT doc_id, para_id, paragraph,
+                     row_number() OVER (PARTITION BY doc_id, h ORDER BY para_id) AS rn
+              FROM p
+            ),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM p GROUP BY doc_id),
+            reb AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(paragraph, ' ' ORDER BY para_id) AS text_kept
+              FROM kept WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_lines, r.n_kept, r.text_kept
+            FROM tot t JOIN reb r ON r.doc_id = t.doc_id
         """,
         "dsir_evidence": r"""
             WITH tok AS (

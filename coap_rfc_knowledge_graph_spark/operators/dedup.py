@@ -787,3 +787,46 @@ def paragraph_dedup(
         )
     )
     return per_doc.join(rebuilt, id_col).select(id_col, "n_paras", "n_kept", "text_kept")
+
+
+def dedup_lines_in_doc(
+    paras: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "para_id",
+    para_col: str = "paragraph",
+) -> DataFrame:
+    """RefinedWeb-style WITHIN-document repeated-line removal: a line
+    survives iff it is the first occurrence of its content INSIDE its
+    own document (global cross-document dedup is
+    :func:`paragraph_dedup`; this one kills per-page boilerplate —
+    repeated nav rows, footer lines, list spam — without touching other
+    documents). Input is the :func:`split_paragraphs` fan-out (pass a
+    line separator as ``sep``); output (id, n_lines, n_kept, text_kept)
+    re-joins survivors in original order.
+
+    Scale shape: one hash aggregate keyed (id, md5(line)) with map-side
+    partial combine — the document id is IN the shuffle key, so a
+    boilerplate line repeated across millions of pages cannot form a
+    hot key — an equi-join back, then one per-document rebuild whose
+    state is bounded by the document's own line count."""
+    hashed = paras.select(
+        F.col(id_col), F.col(order_col), F.col(para_col), F.md5(F.col(para_col)).alias("__h")
+    )
+    first = hashed.groupBy(id_col, "__h").agg(F.min(order_col).alias("__keep"))
+    kept = hashed.join(first, [id_col, "__h"]).filter(F.col(order_col) == F.col("__keep"))
+    per_doc = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(order_col).alias("o"), F.col(para_col).alias("p"))
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        ).alias("text_kept"),
+    )
+    return per_doc.join(rebuilt, id_col).select(id_col, "n_lines", "n_kept", "text_kept")

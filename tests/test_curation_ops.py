@@ -14,7 +14,11 @@ from coap_rfc_knowledge_graph_spark.operators.corpus_lm import (
     prune_top_bigrams,
     train_bigram_lm,
 )
-from coap_rfc_knowledge_graph_spark.operators.dedup import paragraph_dedup, split_paragraphs
+from coap_rfc_knowledge_graph_spark.operators.dedup import (
+    dedup_lines_in_doc,
+    paragraph_dedup,
+    split_paragraphs,
+)
 from coap_rfc_knowledge_graph_spark.operators.pii import redact_pii
 from coap_rfc_knowledge_graph_spark.operators.retrieval import lexical_topk
 from coap_rfc_knowledge_graph_spark.operators.sampling import (
@@ -116,6 +120,22 @@ def test_paragraph_dedup_within_doc_and_order(spark):
     )
     row = paragraph_dedup(paras).collect()[0]
     assert (row.n_paras, row.n_kept, row.text_kept) == (4, 3, "x y z")
+
+
+def test_dedup_lines_in_doc_is_per_document(spark):
+    """Within-doc repeats collapse to the first occurrence; the SAME
+    line in another document is untouched (the global form of that is
+    paragraph_dedup)."""
+    paras = spark.createDataFrame(
+        [
+            (0, 0, "nav"), (0, 1, "body a"), (0, 2, "nav"), (0, 3, "body b"),
+            (1, 0, "nav"), (1, 1, "other"),
+        ],
+        "doc_id long, para_id long, paragraph string",
+    )
+    got = {r.doc_id: r for r in dedup_lines_in_doc(paras).collect()}
+    assert (got[0].n_lines, got[0].n_kept, got[0].text_kept) == (4, 3, "nav body a body b")
+    assert (got[1].n_lines, got[1].n_kept, got[1].text_kept) == (2, 2, "nav other")
 
 
 def test_split_paragraphs_sep_and_windows(spark):
