@@ -76,6 +76,14 @@ def main() -> None:
         "regexp projections)",
     )
     ap.add_argument(
+        "--line-dedup",
+        action="store_true",
+        help="drop repeated lines WITHIN each page (RefinedWeb-style "
+        "per-page boilerplate removal: nav rows, footers, list spam), "
+        "keeping each page's first occurrence; independent of "
+        "--paragraph-dedup, which dedups across the whole corpus",
+    )
+    ap.add_argument(
         "--lm-select-permille",
         type=int,
         default=None,
@@ -135,6 +143,7 @@ def main() -> None:
         or args.decontaminate
         or args.pii_redact
         or args.paragraph_dedup
+        or args.line_dedup
         or args.lm_select_permille is not None
     )
     if prepass_active:
@@ -184,6 +193,7 @@ def main() -> None:
             "cap_by_registered_domain": bool(args.cap_by_registered_domain),
             "pii_redact": bool(args.pii_redact),
             "paragraph_dedup": bool(args.paragraph_dedup),
+            "line_dedup": bool(args.line_dedup),
             "clean": bool(args.clean),
             "decontaminate": args.decontaminate,
             "lm_select_permille": args.lm_select_permille,
@@ -235,22 +245,33 @@ def _apply_prepasses(spark, pages, args, F):
             .drop("text", "n_emails", "n_ips", "n_phones")
             .withColumnRenamed("redacted", "text")
         )
-    if args.paragraph_dedup:
+    if args.paragraph_dedup or args.line_dedup:
         from coap_rfc_knowledge_graph_spark.operators.dedup import (
+            dedup_lines_in_doc,
             paragraph_dedup,
             split_paragraphs,
         )
 
         # blank-line blocks when the corpus has them; 64-word windows
-        # otherwise (one cheap existence probe decides corpus-wide)
-        has_marks = pages.filter(F.col("text").contains("\n\n")).limit(1).count() > 0
-        paras = split_paragraphs(
-            pages, id_col="url", sep=r"\n{2,}" if has_marks else None, words=64
-        )
-        kept = paragraph_dedup(paras, id_col="url")
-        pages = pages.drop("text").join(
-            kept.select("url", F.col("text_kept").alias("text")), "url"
-        )
+        # otherwise (one cheap existence probe per pass — the line pass
+        # rejoins survivors with spaces, so the paragraph pass must
+        # re-probe rather than trust the pre-line-dedup answer)
+        def _split(pages):
+            has_marks = pages.filter(F.col("text").contains("\n\n")).limit(1).count() > 0
+            return split_paragraphs(
+                pages, id_col="url", sep=r"\n{2,}" if has_marks else None, words=64
+            )
+
+        if args.line_dedup:
+            kept = dedup_lines_in_doc(_split(pages), id_col="url")
+            pages = pages.drop("text").join(
+                kept.select("url", F.col("text_kept").alias("text")), "url"
+            )
+        if args.paragraph_dedup:
+            kept = paragraph_dedup(_split(pages), id_col="url")
+            pages = pages.drop("text").join(
+                kept.select("url", F.col("text_kept").alias("text")), "url"
+            )
     if args.clean:
         from coap_rfc_knowledge_graph_spark.operators.text_stats import clean_corpus
 

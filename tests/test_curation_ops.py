@@ -138,6 +138,32 @@ def test_dedup_lines_in_doc_is_per_document(spark):
     assert (got[1].n_lines, got[1].n_kept, got[1].text_kept) == (2, 2, "nav other")
 
 
+def test_job_line_dedup_prepass(spark):
+    """--line-dedup: per-page first occurrences survive, other pages'
+    identical lines untouched."""
+    import argparse
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+    )
+    import run_pipeline
+
+    rows = [
+        ("u0", None, "nav bar here\n\nreal content zero\n\nnav bar here\n\nfooter line", "en"),
+        ("u1", None, "nav bar here\n\nreal content one", "en"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string, lang string")
+    args = argparse.Namespace(
+        url_curation=False, pii_redact=False, paragraph_dedup=False, line_dedup=True,
+        clean=False, decontaminate=None, lm_select_permille=None, lm_reference=None,
+    )
+    out = {r.url: r.text for r in run_pipeline._apply_prepasses(spark, pages, args, F).collect()}
+    assert out["u0"] == "nav bar here real content zero footer line"
+    assert out["u1"] == "nav bar here real content one"
+
+
 def test_split_paragraphs_sep_and_windows(spark):
     docs = _docs(spark, [(0, "p one\n\np two"), (1, "a b c d e")])
     by_sep = split_paragraphs(docs.filter("doc_id = 0"), sep=r"\n\n").collect()

@@ -218,6 +218,7 @@ def test_job_lm_select_prepass(spark):
         url_curation=False,
         pii_redact=False,
         paragraph_dedup=False,
+        line_dedup=False,
         clean=False,
         decontaminate=None,
         lm_select_permille=500,
