@@ -94,3 +94,48 @@ def test_lexical_topk_matches_python_reference(spark, docs_tokens):
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     exp = sorted((rank + 1, doc, score) for rank, (doc, score) in enumerate(ranked))
     assert got == exp
+
+
+@given(_corpus)
+@_slow
+def test_dedup_lines_in_doc_matches_python_reference(spark, corpus):
+    from coap_rfc_knowledge_graph_spark.operators.dedup import dedup_lines_in_doc
+
+    rows = [
+        (doc_id, para_id, p)
+        for doc_id, doc in enumerate(corpus)
+        for para_id, p in enumerate(doc)
+    ]
+    paras = spark.createDataFrame(rows, "doc_id long, para_id long, paragraph string")
+    got = {r.doc_id: r for r in dedup_lines_in_doc(paras).collect()}
+    for doc_id, doc in enumerate(corpus):
+        kept_ref, seen = [], set()
+        for p in doc:  # first occurrence WITHIN the doc only
+            if p not in seen:
+                seen.add(p)
+                kept_ref.append(p)
+        r = got[doc_id]
+        assert r.text_kept == " ".join(kept_ref)
+        assert (r.n_lines, r.n_kept) == (len(doc), len(kept_ref))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from([1, 3, 16]),
+)
+@_slow
+def test_two_level_topk_equals_naive_sort(spark, vals, k, parts):
+    """The shared two-level top-k must equal collect-and-sort exactly,
+    ties included, under any partitioning."""
+    from pyspark.sql import functions as F
+
+    from coap_rfc_knowledge_graph_spark.functions.ranking import two_level_topk
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(parts)
+    got = sorted(
+        map(tuple, two_level_topk(df, [F.desc("v"), F.asc("id")], k).collect())
+    )
+    want = sorted(sorted(rows, key=lambda r: (-r[1], r[0]))[:k])
+    assert got == want
