@@ -26,11 +26,11 @@ Scale shape (10^12 documents):
 - ``dsir_weights`` additionally needs three LM-sized scalar aggregates
   (target total, raw total, union vocabulary) — one pass each over the
   LMs, never over the corpus.
-- ``dsir_resample``: the Gumbel key is a pure projection (congruential
-  draw on xxhash64(id) — deterministic and partitioning-independent);
-  selection is the two-level top-k (per-partition candidates, then a
-  bounded final rank over <= k * n_partitions rows), so no corpus-sized
-  single-task sort.
+- ``dsir_resample``: the Gumbel key is a pure projection (62-bit
+  salted-xxhash64 draw — deterministic and partitioning-independent);
+  selection is the shared two-level top-k (per-partition candidates,
+  then a bounded final rank over <= k * n_partitions rows), so no
+  corpus-sized single-task sort.
 - ``coverage_buckets``: lm_coverage (above) + distributed rank +
   integer-DIV bucket assignment. The only driver-side job is one
   count() for the corpus size (same class as ``nsp_pairs``).
