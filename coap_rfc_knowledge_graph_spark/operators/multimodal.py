@@ -2,12 +2,18 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample are Arrow-batched
-pandas UDFs over ``mapInPandas``. The image/audio libraries are NOT in
-this container, so the codec step is STUBBED: header sniffing and
-deterministic fake features are real and tested; actual pixel/sample
-decoding raises ``NotImplementedError`` behind ``decode_backend`` —
-the Spark-side contract (schemas, batch shapes, partitioning, UDF
-signatures) is exactly what a real backend drops into.
+pandas UDFs over ``mapInPandas``.
+
+The codec is REAL for every format decodable with the stdlib + numpy:
+PPM/PGM (P5/P6, 8- and 16-bit), BMP (uncompressed 24/32-bit), and PCM
+WAV (8/16/32-bit, any channel count) all decode to numpy arrays in
+``decode_backend``, with nearest-neighbor resize and deterministic
+content features (8x8 integer-luma thumbnail for images, windowed
+mean-|amplitude| envelope for audio) computed from the decoded pixels/
+samples. Formats that need an external codec library (JPEG/PNG/GIF/MP4
+— not present in this container) raise ``NotImplementedError`` from the
+same dispatch point; plugging PIL/torchaudio/pyav into
+``decode_backend`` extends coverage without touching any Spark plumbing.
 
 Scale notes: binary payloads dominate row size — the ops below select
 ONLY (id, payload) into the Python worker (column pruning is explicit),
@@ -18,6 +24,9 @@ tiny. Batch size for Arrow transfer is bounded by
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -49,7 +58,9 @@ _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
-    (b"RIFF", "audio/wav"),
+    (b"P5", "image/x-portable-graymap"),
+    (b"P6", "image/x-portable-pixmap"),
+    (b"BM", "image/bmp"),
     (b"ID3", "audio/mpeg"),
     (b"\x00\x00\x00", "video/mp4"),
 ]
@@ -58,19 +69,152 @@ _MAGIC = [
 def sniff_mime(payload: bytes | None) -> str:
     if not payload:
         return "application/octet-stream"
+    # WAV needs both the RIFF container magic and the WAVE form type —
+    # a bare "RIFF" prefix could be any RIFF file (AVI, WebP, ...)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio/wav"
     for magic, mime in _MAGIC:
         if payload[: len(magic)] == magic:
             return mime
     return "application/octet-stream"
 
 
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) -> (h, w[, 3]) uint8 or uint16 array.
+    Handles '#' comments and 16-bit (big-endian per the netpbm spec)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    # header = magic + width + height + maxval as whitespace-separated
+    # tokens, with '#' comments running to end-of-line
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PNM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = (int(t) for t in tokens)
+    channels = 3 if payload[:2] == b"P6" else 1
+    dtype = ">u2" if maxval > 255 else np.uint8
+    count = w * h * channels
+    raster = np.frombuffer(payload, dtype=dtype, count=count, offset=pos)
+    arr = raster.astype(np.uint16 if maxval > 255 else np.uint8)
+    return arr.reshape(h, w, 3) if channels == 3 else arr.reshape(h, w)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER+) -> (h, w, 3|4)
+    uint8 in RGB[A] order, top-down regardless of on-disk row order."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"only uncompressed 24/32-bit BMP (got bpp={bpp}, compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
+    img = rows.reshape(h, stride)[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    if bottom_up:
+        img = img[::-1]
+    # BGR[A] on disk -> RGB[A]
+    return np.ascontiguousarray(img[..., [2, 1, 0, 3][: bytes_pp]])
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """PCM WAV -> (n_frames, n_channels) int32 samples (8-bit unsigned
+    recentred to signed, 16/32-bit verbatim)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        n_frames = wf.getnframes()
+        raw = wf.readframes(n_frames)
+    if width == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    elif width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.int32)
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {width}")
+    return samples.reshape(-1, n_ch)
+
+
 def decode_backend(payload: bytes, mime: str) -> np.ndarray:
-    """THE swap point for a real codec (PIL/torchaudio/pyav). Not
-    available in this container."""
+    """Decode a media payload to a numpy array: (h, w[, c]) pixels for
+    images, (n_frames, n_channels) int32 samples for audio. Real for
+    every format the stdlib can parse (PGM/PPM, uncompressed BMP, PCM
+    WAV); formats that need an external codec (JPEG/PNG/GIF/MP4) raise
+    ``NotImplementedError`` — plug PIL/torchaudio/pyav in here."""
+    if mime in ("image/x-portable-graymap", "image/x-portable-pixmap"):
+        return _decode_pnm(payload)
+    if mime == "image/bmp":
+        return _decode_bmp(payload)
+    if mime == "audio/wav":
+        return _decode_wav(payload)
     raise NotImplementedError(
-        "media decoding requires an image/audio backend not present in this "
-        "container; plug PIL/torchaudio/pyav in here"
+        f"media decoding for {mime} requires an image/audio backend not present "
+        "in this container; plug PIL/torchaudio/pyav in here"
     )
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w[, c]) array — pure integer
+    index arithmetic, so bit-deterministic everywhere."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+def _luma(img: np.ndarray) -> np.ndarray:
+    """Integer ITU-R 601 luma — exact in int64, so cross-platform stable."""
+    if img.ndim == 2:
+        return img.astype(np.int64)
+    r, g, b = (img[..., i].astype(np.int64) for i in range(3))
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def real_features(decoded: np.ndarray, mime: str, dim: int) -> np.ndarray:
+    """Deterministic content features from DECODED media: images -> the
+    flattened 8x8 nearest-neighbor integer-luma thumbnail; audio -> the
+    mean-|amplitude| envelope over ``dim`` equal windows (mono mix by
+    integer channel average). L2-normalized float32 either way."""
+    if mime.startswith("image/"):
+        thumb = resize_nearest(_luma(decoded), 8, 8).reshape(-1).astype(np.float64)
+        out = np.zeros(dim, dtype=np.float64)
+        out[: min(dim, thumb.size)] = thumb[:dim]
+    else:
+        mono = decoded.astype(np.int64).sum(axis=1) // decoded.shape[1]
+        n = mono.size
+        out = np.zeros(dim, dtype=np.float64)
+        if n:
+            edges = (np.arange(dim + 1) * n) // dim
+            mags = np.abs(mono)
+            for i in range(dim):
+                lo, hi = edges[i], edges[i + 1]
+                if hi > lo:
+                    out[i] = float(mags[lo:hi].sum()) / (hi - lo)
+    norm = np.linalg.norm(out)
+    return (out / norm if norm > 0 else out).astype(np.float32)
 
 
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
@@ -90,7 +234,9 @@ def synthetic_media(spark, n: int, seed: int = 5, partitions: int | None = None)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
-        magics = [b"\x89PNG\r\n", b"RIFF\x00\x00", b"\x00\x00\x00\x18ftyp"]
+        # the audio magic carries the WAVE form type: sniff_mime requires
+        # RIFF + WAVE (a bare RIFF prefix could be AVI/WebP)
+        magics = [b"\x89PNG\r\n", b"RIFF\x00\x00\x00\x00WAVE", b"\x00\x00\x00\x18ftyp"]
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
@@ -111,6 +257,69 @@ def synthetic_media(spark, n: int, seed: int = 5, partitions: int | None = None)
     return spark.range(n, numPartitions=partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> binary PPM (P6) / PGM (P5) bytes."""
+    h, w = img.shape[:2]
+    magic = b"P6" if img.ndim == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit bottom-up BMP bytes."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    raster = rows.tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + info + raster
+
+
+def encode_wav(samples: np.ndarray, framerate: int = 8000) -> bytes:
+    """(n_frames, n_channels) int16 -> PCM WAV bytes (stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def synthetic_decodable_media(spark, n: int, seed: int = 11, partitions: int | None = None) -> DataFrame:
+    """Seeded media table whose payloads are REAL encoded files (PPM,
+    PGM, BMP, WAV round-robin) — exercises the actual codec end-to-end,
+    unlike :func:`synthetic_media` whose bodies are opaque noise."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.Generator(np.random.Philox(key=int(i) + seed))
+                ki = int(i) % 4
+                if ki == 0:
+                    h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+                    payload = encode_ppm(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+                    kind, dims, dur = "image", (w, h), 0
+                elif ki == 1:
+                    h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+                    payload = encode_ppm(rng.integers(0, 256, size=(h, w), dtype=np.uint8))
+                    kind, dims, dur = "image", (w, h), 0
+                elif ki == 2:
+                    h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+                    payload = encode_bmp(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+                    kind, dims, dur = "image", (w, h), 0
+                else:
+                    frames = int(rng.integers(64, 512))
+                    payload = encode_wav(rng.integers(-4096, 4096, size=(frames, 2)).astype(np.int16))
+                    kind, dims, dur = "audio", (0, 0), frames * 1000 // 8000
+                rows.append((int(i), kind, payload, (sniff_mime(payload), dims[0], dims[1], dur)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(n, numPartitions=partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -123,9 +332,11 @@ FEATURES_SCHEMA = T.StructType(
 
 def extract_features(media: DataFrame, dim: int = 32, use_backend: bool = False) -> DataFrame:
     """(media_id, mime, n_bytes, features) — the decode/extract stage.
-    ``use_backend=True`` routes through ``decode_backend`` (raises here;
-    real deployments implement it); default uses the deterministic fake
-    so the distributed plumbing is fully testable."""
+    ``use_backend=True`` decodes the payload for real (PNM/BMP/WAV;
+    JPEG/PNG/MP4 raise until a codec library is plugged into
+    ``decode_backend``) and derives content features from the pixels/
+    samples; the default keeps the byte-derived deterministic fake so
+    the distributed plumbing is testable independently of formats."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -134,7 +345,7 @@ def extract_features(media: DataFrame, dim: int = 32, use_backend: bool = False)
                 payload = bytes(payload) if payload is not None else b""
                 mime = sniff_mime(payload)
                 if use_backend:
-                    feats = decode_backend(payload, mime)[:dim]
+                    feats = real_features(decode_backend(payload, mime), mime, dim)
                 else:
                     feats = _fake_features(payload, dim)
                 out["media_id"].append(int(mid))
