@@ -125,7 +125,7 @@ def extract_triples_from_arrays(mentions_arr: DataFrame) -> DataFrame:
     tests — but the ~C(n,2)-sized marked-sentence column never crosses
     the JVM<->Python boundary, which at 10^12 documents is the largest
     intermediate of the whole pipeline."""
-    from .pairs import _mark_tokens  # late import avoids module cycle
+    from .pairs import make_sentence_marker  # late import avoids module cycle
     from ..functions import tokenizer
 
     names = _NAMES
@@ -141,6 +141,7 @@ def extract_triples_from_arrays(mentions_arr: DataFrame) -> DataFrame:
                 if ms is None or len(ms) < 2:
                     continue
                 toks = tokenizer.tokenize(sent, pad=False)
+                mark = make_sentence_marker(toks)  # O(len) once, O(1)/pair
                 spans = sorted(
                     ((int(m["begin"]), int(m["end"]), m["surface"]) for m in ms),
                     key=lambda x: (x[0], x[1]),
@@ -149,7 +150,7 @@ def extract_triples_from_arrays(mentions_arr: DataFrame) -> DataFrame:
                     b1, e1, s1 = spans[i]
                     for j in range(i + 1, len(spans)):
                         b2, e2, s2 = spans[j]
-                        pred = stub_models.classify_relation(_mark_tokens(toks, b1, e1, b2, e2))
+                        pred = stub_models.classify_relation(mark(b1, e1, b2, e2))
                         if pred != 0:
                             subjs.append(s1)
                             preds.append(names[pred])

@@ -214,3 +214,43 @@ def test_full_extract_stage_partitioning_invariance(spark):
     a = extract_stage(pages, url_partitions=2).triples.orderBy(*key).collect()
     b = extract_stage(pages, url_partitions=16).triples.orderBy(*key).collect()
     assert a == b and len(a) > 0
+
+
+def test_fast_marker_byte_identical_to_reference_inserts():
+    """make_sentence_marker (the O(1)-per-pair slicing fast path) must be
+    byte-identical to _mark_tokens (the reference's list.insert sequence,
+    src/relation_extractor.py:25-39) on every canonical span layout, and
+    must DISPATCH to _mark_tokens for non-canonical ones (overlap, spans
+    touching [CLS]/[SEP], padded token lists)."""
+    import random
+
+    from coap_rfc_knowledge_graph_spark.functions import tokenizer
+    from coap_rfc_knowledge_graph_spark.operators.pairs import (
+        _mark_tokens,
+        make_sentence_marker,
+    )
+
+    rng = random.Random(7)
+    vocab = [
+        "The", "server", "MUST", "send", "a", "response", ",", ".", "(",
+        ")", "CoAP", "token-ID", "3.2", "'", "-", "{", "}", "%", "$", "#",
+        '"', "option:", "client's", "[bracket]", "co-located",
+    ]
+    for _ in range(1500):
+        nw = rng.randint(2, 40)
+        toks = [tokenizer.CLS] + [rng.choice(vocab) for _ in range(nw)] + [tokenizer.SEP]
+        mark = make_sentence_marker(toks)
+        for _ in range(4):
+            b1 = rng.randint(1, nw)
+            e1 = rng.randint(b1, nw)
+            if e1 + 1 > nw:
+                continue
+            b2 = rng.randint(e1 + 1, nw)
+            e2 = rng.randint(b2, nw)
+            assert mark(b1, e1, b2, e2) == _mark_tokens(toks, b1, e1, b2, e2)
+    # non-canonical layouts fall back to the reference arithmetic
+    toks = [tokenizer.CLS, "a", "b", "c", "d", tokenizer.SEP]
+    mk = make_sentence_marker(toks)
+    assert mk(1, 3, 2, 4) == _mark_tokens(toks, 1, 3, 2, 4)  # overlapping
+    padded = toks + [tokenizer.PAD]
+    assert make_sentence_marker(padded)(1, 1, 2, 2) == _mark_tokens(padded, 1, 1, 2, 2)
