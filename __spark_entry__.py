@@ -243,6 +243,25 @@ def q_content_fingerprint(spark, sf_dir):
     return d.select("doc_id", fp.alias("fingerprint"))
 
 
+def q_bpe_word_counts(spark, sf_dir):
+    """Tokenizer-training prep, corpus pass: (word, cnt) — the ONLY
+    stage of BPE learning that touches the corpus (operators/bpe.py)."""
+    from coap_rfc_knowledge_graph_spark.operators.bpe import word_counts
+
+    return word_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Learned BPE merge table (rank, left, right, pair_count). The
+    merge loop runs over the bounded word-count dictionary, not the
+    corpus — value-verified against an independent naive learner in
+    tests/test_bpe.py (the loop is not SQL-expressible, so no DuckDB
+    oracle; rows-only here)."""
+    from coap_rfc_knowledge_graph_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), n_merges=48, max_vocab=20_000, min_count=2)
+
+
 def q_lang_stopword_hits(spark, sf_dir):
     """Language-ID building block: per-language stopword hit counts."""
     d = _t(spark, sf_dir, "documents")
@@ -1060,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "token_counts": q_token_counts,
         "content_fingerprint": q_content_fingerprint,
+        "bpe_word_counts": q_bpe_word_counts,
+        "bpe_merges": q_bpe_merges,
         "lang_stopword_hits": q_lang_stopword_hits,
         "quality_gate": q_quality_gate,
         "minhash_near_dup": q_minhash_band_agreement,
@@ -1600,6 +1621,12 @@ def oracle_sql() -> dict[str, str]:
         "content_fingerprint": """
             SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint
             FROM documents
+        """,
+        "bpe_word_counts": r"""
+            SELECT word, COUNT(*) AS cnt
+            FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+            WHERE word <> ''
+            GROUP BY word
         """,
         "lang_stopword_hits": r"""
             SELECT doc_id,
