@@ -321,6 +321,20 @@ def q_media_features(spark, sf_dir):
     return extract_features(media).select("media_id", "mime", "n_bytes")
 
 
+def q_html_main_content(spark, sf_dir):
+    """jusText-lite block-level boilerplate removal over (url, html)
+    pages synthesized deterministically from documents (rows-only by
+    design: the HTML event parse is not SQL-expressible; the full
+    output is order-insensitive sha256-pinned in
+    tests/test_html_extract.py::test_main_content_partitioning_invariant_and_pinned)."""
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import main_content, synthetic_html_pages
+
+    d = _t(spark, sf_dir, "documents")
+    return main_content(synthetic_html_pages(d)).select(
+        "url", F.length("text").alias("text_len"), "n_blocks_kept", "n_blocks_total"
+    )
+
+
 def q_nsp_pairs(spark, sf_dir):
     """M11 data-prep: NSP sentence-pair generation over documents —
     per-doc lead() next sentence vs congruential-draw random partner
@@ -1098,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
+        "html_main_content": q_html_main_content,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,
@@ -2490,7 +2505,8 @@ def oracle_sql() -> dict[str, str]:
             FROM hashed GROUP BY doc_id, seed
         """,
         # minhash_near_dup / simhash_near_dup (UDF variants),
-        # ann_ivf_topk, media_features, kg_* (incl. the Q2-Q6 findings
+        # ann_ivf_topk, media_features, html_main_content,
+        # kg_* (incl. the Q2-Q6 findings
         # entries): non-SQL-expressible (hash UDFs / model UDFs /
         # solver) -> rows-only checks by design. simhash_native /
         # minhash_native above are the value-verifiable members of the

@@ -1,0 +1,248 @@
+"""Main-content extraction from the ``html`` binary column (jusText-lite).
+
+The north-rule input table carries raw page bytes (``html: binary``);
+``functions.text_extract.strip_html`` is the minimal regex fallback the
+extraction dispatcher uses, but a curation pipeline needs real
+block-level boilerplate removal: navigation, footers, and link farms
+are the single largest contamination source in crawled training data.
+
+This module implements the public jusText/Readability family's core
+heuristic with only the stdlib ``html.parser``:
+
+1. parse the page into TEXT BLOCKS at block-level tag boundaries,
+   dropping script/style/noscript/template/head subtrees entirely;
+2. per block, measure length in words and the fraction of those words
+   inside ``<a>`` (link density);
+3. keep blocks with at least ``min_words`` words and link density at
+   most ``max_link_density`` — short and link-dense blocks are
+   boilerplate (nav bars, cookie banners, share buttons).
+
+Scale shape: one column-pruned ``mapInPandas`` over (url, html) — a
+narrow projection, zero shuffle at any corpus size; the parse is
+streaming and single-pass per page (HTMLParser is an event parser, no
+DOM is materialized). Bytes decode as UTF-8 with replacement — a crawl
+column has no reliable charset, and a hard failure on one page must
+never kill a task. Malformed markup is tolerated by construction
+(HTMLParser never raises on bad nesting).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# subtrees whose text is never content
+_SKIP_TAGS = {"script", "style", "noscript", "template", "head", "svg", "iframe"}
+# tags that open/close a text block
+_BLOCK_TAGS = {
+    "p", "div", "section", "article", "main", "aside", "header", "footer",
+    "nav", "li", "ul", "ol", "dl", "dt", "dd", "table", "tr", "td", "th",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "figure",
+    "figcaption", "form", "fieldset", "hr", "br", "title", "body",
+}
+# void elements never get a matching end tag; entering one must not
+# increment the skip depth (HTMLParser reports them via handle_starttag)
+_VOID_TAGS = {"br", "hr", "img", "input", "meta", "link", "area", "base",
+              "col", "embed", "source", "track", "wbr"}
+
+
+class _BlockParser(HTMLParser):
+    """Streaming block segmenter. Blocks are (tag, words, link_words)
+    where words is the ordered word list and link_words how many of
+    them were inside an <a> subtree."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, list[str], int]] = []
+        self._words: list[str] = []
+        self._link_words = 0
+        self._tag = "body"
+        self._skip = 0
+        self._a_depth = 0
+
+    def _flush(self, next_tag: str) -> None:
+        if self._words:
+            self.blocks.append((self._tag, self._words, self._link_words))
+        self._words = []
+        self._link_words = 0
+        self._tag = next_tag
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS and tag not in _VOID_TAGS:
+            self._skip += 1
+            return
+        if tag == "a":
+            self._a_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._flush(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS and tag not in _VOID_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+        if tag in _BLOCK_TAGS:
+            self._flush(self._tag)
+
+    def handle_data(self, data: str) -> None:
+        if self._skip:
+            return
+        ws = data.split()
+        if not ws:
+            return
+        self._words.extend(ws)
+        if self._a_depth:
+            self._link_words += len(ws)
+
+    def close(self) -> None:  # final implicit block
+        super().close()
+        self._flush("body")
+
+
+def parse_blocks(html: bytes | str | None) -> list[tuple[str, str, int, int]]:
+    """One page -> [(tag, text, n_words, link_words)]. Pure function
+    (no Spark) so tests and the oracle-side reference can call it."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _BlockParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        # event parsers are robust, but a pathological page must cost
+        # us that page, never the task
+        return []
+    return [(tag, " ".join(w), len(w), lw) for tag, w, lw in p.blocks]
+
+
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("block_id", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("link_words", T.IntegerType()),
+    ]
+)
+
+
+def html_blocks(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """pages -> one row per text block (url, block_id, tag, text,
+    n_words, link_words). Column-pruned to (url, html); narrow."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, bids, tags, texts, nws, lws = [], [], [], [], [], []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                for i, (tag, text, nw, lw) in enumerate(parse_blocks(html)):
+                    urls.append(url)
+                    bids.append(i)
+                    tags.append(tag)
+                    texts.append(text)
+                    nws.append(nw)
+                    lws.append(lw)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "block_id": pd.array(bids, dtype="int32"),
+                    "tag": tags,
+                    "text": texts,
+                    "n_words": pd.array(nws, dtype="int32"),
+                    "link_words": pd.array(lws, dtype="int32"),
+                }
+            )
+
+    return pages.select(url_col, html_col).mapInPandas(fn, BLOCKS_SCHEMA)
+
+
+def keep_block(n_words: int, link_words: int, min_words: int, max_link_density: float) -> bool:
+    """THE boilerplate gate — one definition shared by the distributed
+    pass and tests: enough words, low enough link density."""
+    return n_words >= min_words and link_words <= n_words * max_link_density
+
+
+MAIN_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_blocks_kept", T.IntegerType()),
+        T.StructField("n_blocks_total", T.IntegerType()),
+    ]
+)
+
+
+def main_content(
+    pages: DataFrame,
+    min_words: int = 5,
+    max_link_density: float = 0.4,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """pages -> (url, text, n_blocks_kept, n_blocks_total): the
+    boilerplate-stripped page text, surviving blocks joined with
+    newlines in document order. A page's blocks never leave the row
+    that produced them, so the whole pass is ONE narrow mapInPandas —
+    no groupBy/shuffle of corpus-sized text at any scale (an earlier
+    draft re-assembled via groupBy(url); pointless — the page is
+    already co-located with itself)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, texts, keptc, totc = [], [], [], []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                blocks = parse_blocks(html)
+                kept = [
+                    t for _, t, nw, lw in blocks
+                    if keep_block(nw, lw, min_words, max_link_density)
+                ]
+                urls.append(url)
+                texts.append("\n".join(kept))
+                keptc.append(len(kept))
+                totc.append(len(blocks))
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "text": texts,
+                    "n_blocks_kept": pd.array(keptc, dtype="int32"),
+                    "n_blocks_total": pd.array(totc, dtype="int32"),
+                }
+            )
+
+    return pages.select(url_col, html_col).mapInPandas(fn, MAIN_SCHEMA)
+
+
+def synthetic_html_pages(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic (url, html) pages from a text corpus: each doc's
+    text wrapped in a realistic page skeleton with the boilerplate the
+    extractor must strip — head+script+style, a link-farm nav, a cookie
+    banner, a footer. Pure Catalyst (concat + encode), so the corpus
+    fans out without a UDF; used by tests and the driver contract (the
+    parquet test tables carry no html column)."""
+    nav = (
+        '<nav><ul><li><a href="/">Home</a></li><li><a href="/a">News</a></li>'
+        '<li><a href="/b">Shop</a></li><li><a href="/c">Contact us</a></li></ul></nav>'
+    )
+    head = (
+        "<head><title>Page</title><style>body{color:red}</style>"
+        '<script>var tracking = "beacon &amp; pixel";</script></head>'
+    )
+    banner = '<div class="cookie">Accept <a href="#">cookies</a>?</div>'
+    footer = '<footer><a href="/tos">Terms</a> <a href="/privacy">Privacy</a> &copy; 2026</footer>'
+    page = F.concat(
+        F.lit(f"<html>{head}<body>{nav}{banner}<article><p>"),
+        F.regexp_replace(F.col(text_col), r"\n\n+", "</p><p>"),
+        F.lit(f"</p></article>{footer}</body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("https://synth.example/"), F.col(id_col).cast("string")).alias("url"),
+        F.encode(page, "UTF-8").alias("html"),
+    )

@@ -1,0 +1,136 @@
+"""Block-level HTML main-content extraction (jusText-lite heuristic):
+pure-parser behavior, the boilerplate gate, and the Spark pass
+(zero-shuffle, partitioning-invariant, content-pinned)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from coap_rfc_knowledge_graph_spark.operators.html_extract import (  # noqa: E402
+    html_blocks,
+    keep_block,
+    main_content,
+    parse_blocks,
+    synthetic_html_pages,
+)
+
+PAGE = b"""<html><head><title>HeadTitleXYZ</title>
+<style>p{margin:0}</style><script>var x = "<p>not text</p>";</script></head>
+<body>
+<nav><a href="/">Home</a> <a href="/x">About</a> <a href="/y">Contact</a></nav>
+<article>
+<p>CoAP is a specialized web transfer protocol for constrained nodes &amp; networks.</p>
+<p>The protocol supports <a href="/rfc">RFC 7252</a> style request response semantics over UDP.</p>
+</article>
+<footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer>
+</body></html>"""
+
+
+def test_parse_blocks_drops_script_style_head():
+    texts = [t for _, t, _, _ in parse_blocks(PAGE)]
+    joined = " ".join(texts)
+    assert "not text" not in joined and "margin" not in joined and "HeadTitleXYZ" not in joined
+    assert any("specialized web transfer protocol" in t for t in texts)
+
+
+def test_parse_blocks_entities_and_link_density():
+    blocks = {t: (nw, lw) for _, t, nw, lw in parse_blocks(PAGE)}
+    content = next(t for t in blocks if "constrained nodes" in t)
+    assert "&" in content and "&amp;" not in content  # charrefs decoded
+    nw, lw = blocks[content]
+    assert lw == 0 and nw >= 10
+    nav = next(t for t in blocks if t.startswith("Home"))
+    assert blocks[nav][0] == blocks[nav][1] == 3  # all words inside <a>
+    mixed = next(t for t in blocks if "request response semantics" in t)
+    nw, lw = blocks[mixed]
+    assert lw == 2 and nw > 8  # only "RFC 7252" is linked
+
+
+def test_parse_blocks_robustness():
+    assert parse_blocks(None) == []
+    assert parse_blocks(b"") == []
+    assert parse_blocks(b"no tags at all just words here") == [
+        ("body", "no tags at all just words here", 7, 0)
+    ]
+    # invalid utf-8 must decode with replacement, never raise
+    out = parse_blocks(b"<p>caf\xe9 words here more words</p>")
+    assert len(out) == 1 and "caf�" in out[0][1]
+    # unclosed / misnested tags tolerated
+    out = parse_blocks(b"<div><p>alpha beta <b>gamma</div> delta")
+    assert any("alpha beta gamma" in t for _, t, _, _ in out)
+    # void tags inside a skip subtree must not corrupt skip depth
+    out = parse_blocks(b"<script>x<br>y</script><p>real content words here now</p>")
+    assert [t for _, t, _, _ in out] == ["real content words here now"]
+
+
+def test_keep_block_gate():
+    assert keep_block(10, 0, 5, 0.4)
+    assert not keep_block(3, 0, 5, 0.4)  # too short
+    assert not keep_block(10, 5, 5, 0.4)  # link farm
+    assert keep_block(10, 4, 5, 0.4)  # boundary: lw <= nw * d
+
+
+def test_main_content_strips_boilerplate(spark):
+    pages = spark.createDataFrame([("u1", bytearray(PAGE)), ("u2", None)], "url string, html binary")
+    rows = {r["url"]: r for r in main_content(pages).collect()}
+    text = rows["u1"]["text"]
+    assert "specialized web transfer protocol" in text
+    assert "request response semantics" in text
+    assert "Home" not in text and "Terms" not in text  # nav/footer gone
+    assert rows["u1"]["n_blocks_kept"] == 2
+    assert rows["u1"]["n_blocks_total"] > 2
+    assert rows["u2"]["text"] == "" and rows["u2"]["n_blocks_total"] == 0
+
+
+def test_html_blocks_schema_and_order(spark):
+    pages = spark.createDataFrame([("u1", bytearray(PAGE))], "url string, html binary")
+    rows = html_blocks(pages).orderBy("block_id").collect()
+    assert [r["block_id"] for r in rows] == list(range(len(rows)))
+    assert rows[0]["url"] == "u1"
+
+
+# pinned round 4 over the 500-doc sf0.001 documents table wrapped by
+# synthetic_html_pages (order-insensitive sha256; recompute via the
+# expression below if the extractor heuristic deliberately changes)
+MAIN_CONTENT_PIN = (500, "3fd6e75935f01b17064ad9be69a62d459aaede58798eaaa4ce061b0c9fb74bea")
+
+
+def test_main_content_partitioning_invariant_and_pinned(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = synthetic_html_pages(docs)
+    out = main_content(pages)
+    rows = sorted(
+        f"{r['url']}|{hashlib.sha256(r['text'].encode()).hexdigest()}|{r['n_blocks_kept']}|{r['n_blocks_total']}"
+        for r in out.collect()
+    )
+    n, h = len(rows), hashlib.sha256("\n".join(rows).encode()).hexdigest()
+    again = sorted(
+        f"{r['url']}|{hashlib.sha256(r['text'].encode()).hexdigest()}|{r['n_blocks_kept']}|{r['n_blocks_total']}"
+        for r in main_content(synthetic_html_pages(docs.repartition(7))).collect()
+    )
+    assert again == rows
+    assert (n, h) == MAIN_CONTENT_PIN
+    # the synthetic boilerplate is verifiably stripped on every page
+    assert all(r["n_blocks_kept"] < r["n_blocks_total"] for r in out.collect())
+
+
+def test_main_content_feeds_extraction_pipeline(spark):
+    """The curated text must be usable as the pages.text input of the
+    flagship path (html -> main_content -> sentences)."""
+    from coap_rfc_knowledge_graph_spark.operators.sentences import extract_sentences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    curated = main_content(synthetic_html_pages(docs)).select(
+        "url",
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+    sents = extract_sentences(curated, url_partitions=4)
+    assert sents.count() > 0
