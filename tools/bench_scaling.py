@@ -6,6 +6,15 @@ on the SAME input and report throughput at both plus scaling efficiency
 Python workers, under-measuring the high level); override with
 SPARK_GRAFT_SCALE_LO / SPARK_GRAFT_SCALE_HI. Writes BENCH/SCALING.json.
 
+Each level's WHOLE process tree (JVM task threads, GC, Python UDF
+workers) is pinned to exactly its nominal core count via ``taskset``:
+unpinned, a ``local[4]`` run on an idle 32-core host silently borrows
+extra cores for its 4 separate Python worker processes and JVM service
+threads, over-measuring the low level and deflating the ratio — a
+single-box artifact a real N-executor cluster (which has exactly N
+cores of hardware) does not have. Disable with
+SPARK_GRAFT_SCALE_PIN=0 to reproduce the unpinned numbers.
+
 Usage: python tools/bench_scaling.py [sf_dir]
 """
 
@@ -13,13 +22,22 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-DOCS_MULT = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "16"))
+# 64x replication (320k docs): the round-4 marked-sentence fast path cut
+# flagship CPU ~2.6x, which pushed the 16x corpus out of the compute-
+# dominated regime the harness needs (the ~2-3s of serial driver work —
+# DAG scheduling, AQE replans, the single-task source read of the one
+# small parquet file — became >10% of the high level's runtime, an
+# Amdahl artifact of the benchmark SIZE, not of the plan; a real
+# 100 TB run is data-dominated by construction)
+DOCS_MULT = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "64"))
+PIN_CORES = os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "0"
 
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
@@ -30,8 +48,11 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_DOCS_MULT=str(DOCS_MULT),
         SPARK_GRAFT_FLAGSHIP_ONLY="1",  # scaling is a flagship metric
     )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if PIN_CORES and shutil.which("taskset") and cpus <= os.cpu_count():
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
@@ -71,6 +92,7 @@ def main() -> None:
         "flagship_sec_low": r_lo["value"],
         "flagship_sec_high": r_hi["value"],
         "scaling_efficiency": round(eff, 3),
+        "core_pinned": PIN_CORES,
         "target": 0.8,
         "meets_target": eff >= 0.8,
     }
