@@ -335,6 +335,68 @@ def q_html_main_content(spark, sf_dir):
     )
 
 
+# decomposed e+acute, A+combining ring, ffi ligature, circled 1: NFC
+# composes the first two and leaves the rest — appended to every doc so
+# the normalization check is non-vacuous even on an ASCII-only corpus
+_NFC_PROBE = " café Å ﬃx ①"
+
+
+def q_unicode_normalize(spark, sf_dir):
+    """NFC normalization (the one deliberate pandas UDF on the curation
+    path — Spark has no JVM-native Unicode normalizer) value-verified
+    against DuckDB's nfc_normalize."""
+    from coap_rfc_knowledge_graph_spark.operators.normalize import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NFC_PROBE)).alias("text")
+    )
+    return normalize_text(d).select("doc_id", "norm_text")
+
+
+def _synth_triples(docs: DataFrame) -> DataFrame:
+    """Deterministic triple table over documents for the kg-embedding
+    prep contract entries (mirrored verbatim by _TRIPLES_CTE)."""
+    d = F.col("doc_id")
+    return (
+        docs.select(
+            (d % 211).cast("long").alias("subj_id"),
+            F.concat(F.lit("p"), (d % 5).cast("string")).alias("pred"),
+            ((d * 7 + 1) % 211).cast("long").alias("obj_id"),
+        )
+        .filter(F.col("subj_id") != F.col("obj_id"))
+        .distinct()
+    )
+
+
+# DuckDB mirror of _synth_triples (shared by the kg-embedding oracles)
+_TRIPLES_CTE = """
+    WITH t AS (
+      SELECT DISTINCT CAST(doc_id % 211 AS BIGINT) AS subj_id,
+             'p' || CAST(doc_id % 5 AS VARCHAR) AS pred,
+             CAST((doc_id * 7 + 1) % 211 AS BIGINT) AS obj_id
+      FROM documents
+      WHERE doc_id % 211 <> (doc_id * 7 + 1) % 211
+    )"""
+
+
+def q_kg_negative_samples(spark, sf_dir):
+    """TransE-style corrupted-triple generation: two independent
+    congruential draws (side, replacement rank) + dense-rank equi-join
+    against the entity universe — no rand(), no cross join."""
+    from coap_rfc_knowledge_graph_spark.operators.kg_embed import negative_samples
+
+    return negative_samples(_synth_triples(_t(spark, sf_dir, "documents")), k=2)
+
+
+def q_entity_cooccurrence(spark, sf_dir):
+    """Exact fixed-point PMI-style association between entity pairs
+    (three hash aggregations + two key joins; binary64 arithmetic is
+    bit-identical across engines)."""
+    from coap_rfc_knowledge_graph_spark.operators.kg_embed import cooccurrence_strength
+
+    return cooccurrence_strength(_synth_triples(_t(spark, sf_dir, "documents")))
+
+
 def q_nsp_pairs(spark, sf_dir):
     """M11 data-prep: NSP sentence-pair generation over documents —
     per-doc lead() next sentence vs congruential-draw random partner
@@ -1113,6 +1175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "html_main_content": q_html_main_content,
+        "unicode_normalize": q_unicode_normalize,
+        "kg_negative_samples": q_kg_negative_samples,
+        "entity_cooccurrence": q_entity_cooccurrence,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,
@@ -2503,6 +2568,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(seed AS BIGINT) AS seed, MIN(h) AS minhash
             FROM hashed GROUP BY doc_id, seed
+        """,
+        "unicode_normalize": f"""
+            SELECT doc_id, nfc_normalize(text || '{_NFC_PROBE}') AS norm_text
+            FROM documents
+        """,
+        "kg_negative_samples": _TRIPLES_CTE + """,
+            preds AS (
+              SELECT pred, row_number() OVER (ORDER BY pred) - 1 AS pred_code
+              FROM (SELECT DISTINCT pred FROM t)
+            ),
+            ents AS (
+              SELECT entity_id, row_number() OVER (ORDER BY entity_id) - 1 AS rank
+              FROM (SELECT subj_id AS entity_id FROM t UNION SELECT obj_id FROM t)
+            ),
+            nn AS (SELECT COUNT(*) AS n FROM ents),
+            base AS (
+              SELECT t.subj_id, t.pred, t.obj_id, p.pred_code,
+                     CAST(j.range AS BIGINT) AS neg_idx
+              FROM t JOIN preds p USING (pred) CROSS JOIN range(2) j
+            ),
+            drawn AS (
+              SELECT *,
+                CAST((((subj_id % 1048576) * 1048573 + (obj_id % 1048576) * 8191
+                       + pred_code * 127 + neg_idx * 127 + 7) * 48271)
+                     % 2147483647 % 2 AS INT) AS corrupt_side,
+                (((subj_id % 1048576) * 524287 + (obj_id % 1048576) * 131071
+                  + pred_code * 8191 + neg_idx * 127 + 13) * 48271)
+                  % 2147483647 % (SELECT n FROM nn) AS repl_rank
+              FROM base
+            )
+            SELECT subj_id, pred, obj_id, neg_idx, corrupt_side,
+                   CASE WHEN corrupt_side = 0 THEN e.entity_id ELSE subj_id END AS neg_subj_id,
+                   CASE WHEN corrupt_side = 1 THEN e.entity_id ELSE obj_id END AS neg_obj_id,
+                   CAST(CASE WHEN corrupt_side = 0 THEN e.entity_id = subj_id
+                             ELSE e.entity_id = obj_id END AS INT) AS collides
+            FROM drawn JOIN ents e ON e.rank = drawn.repl_rank
+        """,
+        "entity_cooccurrence": _TRIPLES_CTE + """,
+            pair AS (SELECT subj_id, obj_id, COUNT(*) AS n_pair FROM t GROUP BY 1, 2),
+            ns AS (SELECT subj_id, COUNT(*) AS n_subj FROM t GROUP BY 1),
+            no AS (SELECT obj_id, COUNT(*) AS n_obj FROM t GROUP BY 1),
+            tot AS (SELECT COUNT(*) AS total FROM t)
+            SELECT p.subj_id, p.obj_id, n_pair, n_subj, n_obj,
+                   CAST(floor(CAST(n_pair AS DOUBLE) * (SELECT total FROM tot) * 1000000.0
+                              / (CAST(n_subj AS DOUBLE) * CAST(n_obj AS DOUBLE))) AS BIGINT)
+                     AS strength
+            FROM pair p JOIN ns USING (subj_id) JOIN no USING (obj_id)
         """,
         # minhash_near_dup / simhash_near_dup (UDF variants),
         # ann_ivf_topk, media_features, html_main_content,

@@ -220,6 +220,36 @@ def main_content(
     return pages.select(url_col, html_col).mapInPandas(fn, MAIN_SCHEMA)
 
 
+def fill_text_from_html(
+    pages: DataFrame,
+    min_words: int = 5,
+    max_link_density: float = 0.4,
+) -> DataFrame:
+    """pages (full north-rule schema) -> same schema with NULL ``text``
+    filled from ``html`` via the boilerplate gate (rows that already
+    carry text pass through untouched — extraction must not second-
+    guess an upstream extractor). Single mapInPandas over the existing
+    row — NOT a join of ``main_content`` back onto pages, which would
+    shuffle the whole corpus text on url for what is a per-row fill."""
+    cols = pages.columns
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            need = out["text"].isna() & out["html"].notna()
+            out.loc[need, "text"] = [
+                "\n".join(
+                    t
+                    for _, t, nw, lw in parse_blocks(h)
+                    if keep_block(nw, lw, min_words, max_link_density)
+                )
+                for h in out.loc[need, "html"]
+            ]
+            yield out
+
+    return pages.mapInPandas(fn, pages.schema).select(cols)
+
+
 def synthetic_html_pages(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic (url, html) pages from a text corpus: each doc's
     text wrapped in a realistic page skeleton with the boilerplate the

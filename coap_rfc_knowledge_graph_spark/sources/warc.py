@@ -1,0 +1,185 @@
+"""WARC ingest: Common-Crawl-style archive files -> the pages table.
+
+The north-rule input table (url, warc_ts, html, text, lang) is an
+Iceberg table of crawled pages, but the upstream artifact a crawl
+actually delivers is WARC (ISO 28500): a concatenation of records,
+each a ``WARC/1.0`` header block, CRLFCRLF, ``Content-Length`` octets
+of body, CRLFCRLF. Common Crawl ships ``.warc.gz`` with ONE GZIP
+MEMBER PER RECORD so readers can split on member boundaries; plain
+``.warc`` also exists. This module reads both with only the stdlib.
+
+Scale shape: ``spark.read.format("binaryFile")`` lists the files and
+gives (path, content) rows — one task per file, which is exactly the
+Common-Crawl parallelism model (a crawl segment is ~10^4-10^5 files of
+~1 GiB; the *files*, not the bytes inside one, are the unit of
+parallelism — record offsets inside a gzip stream are not splittable
+without an external index). Parsing is a column-pruned ``mapInPandas``
+emitting pages rows; no shuffle. At real scale, follow with
+``repartition(url)`` or the bucketed Iceberg write in
+``sources/catalog.py`` — a WARC file's records are crawl-order, not
+url-order.
+
+Only ``WARC-Type: response`` records become pages (requests, metadata
+and warcinfo records are skipped, matching every public CC consumer).
+The HTTP response headers are stripped; ``html`` is the raw payload
+bytes, ``text``/``lang`` are left NULL for the downstream extractor
+(``operators/html_extract.main_content`` / ``strip_html``) — ingest
+must not guess at content.
+
+``write_warc`` is the inverse (used by tests and the deterministic
+synthesiser): it emits spec-shaped records so the reader is exercised
+against real framing, including multi-member gzip.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .pages import PAGES_SCHEMA
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gunzip_all(data: bytes) -> bytes:
+    """Decompress EVERY gzip member in a concatenated stream (CC's
+    member-per-record layout; ``gzip.decompress`` handles multi-member
+    but zlib with explicit loop is branch-free on trailing garbage)."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=47)  # 32+15: auto gzip/zlib header
+        out.append(d.decompress(data[pos:]))
+        if not d.unused_data:
+            break
+        pos = len(data) - len(d.unused_data)
+    return b"".join(out)
+
+
+def parse_warc(data: bytes) -> list[tuple[str, datetime | None, bytes]]:
+    """One WARC file's bytes -> [(url, warc_ts, html_payload)] for the
+    response records. Pure function (no Spark) so tests and the
+    synthesiser share it. Tolerant: a malformed record ends the file's
+    parse (truncated tail of an interrupted crawl upload) rather than
+    raising — one bad file must cost its remaining records, not the task.
+    """
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_all(data)
+    pages: list[tuple[str, datetime | None, bytes]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.find(_CRLF2, pos)
+        if hdr_end < 0:
+            break
+        head = data[pos:hdr_end].decode("utf-8", errors="replace")
+        lines = head.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            break
+        fields: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, sep, v = ln.partition(":")
+            if sep:
+                fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        body = data[body_start : body_start + length]
+        if len(body) < length:
+            break  # truncated record
+        pos = body_start + length
+        if fields.get("warc-type", "").lower() == "response":
+            url = fields.get("warc-target-uri", "")
+            ts: datetime | None = None
+            raw_ts = fields.get("warc-date", "")
+            try:
+                ts = datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ").replace(tzinfo=timezone.utc)
+            except ValueError:
+                ts = None
+            payload = body
+            if fields.get("content-type", "").lower().startswith("application/http"):
+                # strip the HTTP response head (status line + headers)
+                split = body.find(_CRLF2)
+                if split >= 0:
+                    payload = body[split + 4 :]
+            if url:
+                pages.append((url, ts, payload))
+    return pages
+
+
+def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
+    """WARC files under ``path`` -> pages DataFrame (text/lang NULL —
+    extraction is a downstream operator, not an ingest guess)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, htmls = [], [], []
+            for content in pdf["content"]:
+                for url, ts, payload in parse_warc(bytes(content)):
+                    urls.append(url)
+                    # pandas wants tz-naive for Spark TimestampType here
+                    tss.append(ts.replace(tzinfo=None) if ts is not None else None)
+                    htmls.append(payload)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "warc_ts": pd.Series(tss, dtype="datetime64[us]"),
+                    "html": htmls,
+                    "text": pd.Series([None] * len(urls), dtype="object"),
+                    "lang": pd.Series([None] * len(urls), dtype="object"),
+                }
+            )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+    )
+    return files.mapInPandas(fn, PAGES_SCHEMA)
+
+
+def write_warc(
+    path: str,
+    records: list[tuple[str, datetime, bytes]],
+    compress: bool = True,
+    with_http_headers: bool = True,
+) -> None:
+    """Spec-shaped WARC writer (one gzip member per record when
+    ``compress``, the Common-Crawl layout). Test/synthesis helper —
+    the 100-TB write path is the Iceberg pages table, not WARC."""
+    out = io.BytesIO()
+    for url, ts, html in records:
+        body = html
+        if with_http_headers:
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + f"Content-Length: {len(html)}\r\n".encode()
+                + b"\r\n"
+                + html
+            )
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        rec = head + body + _CRLF2
+        out.write(gzip.compress(rec, mtime=0) if compress else rec)
+    with open(path, "wb") as fh:
+        fh.write(out.getvalue())

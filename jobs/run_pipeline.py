@@ -27,6 +27,32 @@ def main() -> None:
         "stages are skipped via their lineage manifests either way",
     )
     ap.add_argument(
+        "--from-warc",
+        action="store_true",
+        help="treat --pages as a directory of WARC/WARC.GZ crawl files "
+        "(Common-Crawl layout) instead of a parquet pages table; records "
+        "are parsed into the pages schema at ingest (text/lang NULL)",
+    )
+    ap.add_argument(
+        "--html-extract",
+        action="store_true",
+        help="fill NULL text from the html column via the jusText-lite "
+        "block gate (rows already carrying text pass through); runs "
+        "before every text pre-pass",
+    )
+    ap.add_argument(
+        "--normalize-unicode",
+        nargs="?",
+        const="NFC",
+        default=None,
+        metavar="FORM",
+        choices=["NFC", "NFKC", "NFD", "NFKD"],
+        help="strip C0/C1 controls, Unicode-normalize text (default "
+        "NFC), and collapse whitespace BEFORE the dedup family — exact "
+        "dedup, shingles and line hashes key on text bytes, so mixed "
+        "compositions silently fragment them",
+    )
+    ap.add_argument(
         "--clean",
         action="store_true",
         help="run the C4/Gopher-style clean_corpus pre-pass (quality + "
@@ -132,13 +158,20 @@ def main() -> None:
     # caller's session, which is not ours to stop
     owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName(args.app_name).getOrCreate()
-    pages = spark.read.parquet(args.pages)
+    if args.from_warc:
+        from coap_rfc_knowledge_graph_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.pages)
+    else:
+        pages = spark.read.parquet(args.pages)
 
     def apply_prepasses(pages):
         return _apply_prepasses(spark, pages, args, F)
 
     prepass_active = (
         args.url_curation
+        or args.html_extract
+        or args.normalize_unicode is not None
         or args.clean
         or args.decontaminate
         or args.pii_redact
@@ -188,6 +221,8 @@ def main() -> None:
             ).hexdigest()
         prepass_params = {
             "url_curation": bool(args.url_curation),
+            "html_extract": bool(args.html_extract),
+            "normalize_unicode": args.normalize_unicode,
             "domain_blocklist_sha256": blocklist_digest,
             "head_cap_frac": args.head_cap_frac,
             "cap_by_registered_domain": bool(args.cap_by_registered_domain),
@@ -237,6 +272,15 @@ def _apply_prepasses(spark, pages, args, F):
             head_cap_frac=args.head_cap_frac,
             cap_by_registered_domain=args.cap_by_registered_domain,
         )
+    # getattr: embedded callers (tests) build partial Namespaces
+    if getattr(args, "html_extract", False):
+        from coap_rfc_knowledge_graph_spark.operators.html_extract import fill_text_from_html
+
+        pages = fill_text_from_html(pages)
+    if getattr(args, "normalize_unicode", None) is not None:
+        from coap_rfc_knowledge_graph_spark.operators.normalize import normalize_corpus
+
+        pages = normalize_corpus(pages, form=args.normalize_unicode)
     if args.pii_redact:
         from coap_rfc_knowledge_graph_spark.operators.pii import redact_pii
 

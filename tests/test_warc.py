@@ -1,0 +1,132 @@
+"""WARC ingest: framing parser (plain + member-per-record gzip,
+skipped record types, truncation tolerance, HTTP head stripping) and
+the Spark binaryFile -> mapInPandas pages path feeding the extractor."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import sys
+from datetime import datetime, timezone
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from coap_rfc_knowledge_graph_spark.sources.warc import (  # noqa: E402
+    parse_warc,
+    read_warc,
+    write_warc,
+)
+
+TS = datetime(2024, 3, 1, 12, 0, 0)
+HTML1 = b"<html><body><p>CoAP is a specialized web transfer protocol for constrained nodes.</p></body></html>"
+HTML2 = b"<html><body><p>The protocol supports request response semantics over UDP transport.</p></body></html>"
+
+
+def _records():
+    return [
+        ("https://a.example/one", TS, HTML1),
+        ("https://b.example/two", TS, HTML2),
+    ]
+
+
+def test_roundtrip_plain_and_gzip(tmp_path):
+    for compress in (False, True):
+        p = str(tmp_path / f"f{compress}.warc{'.gz' if compress else ''}")
+        write_warc(p, _records(), compress=compress)
+        with open(p, "rb") as fh:
+            got = parse_warc(fh.read())
+        assert [(u, h) for u, _, h in got] == [(u, h) for u, _, h in _records()]
+        assert all(ts == TS.replace(tzinfo=timezone.utc) for _, ts, _ in got)
+
+
+def test_non_response_records_skipped_and_no_http_head():
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: application/warc-fields\r\n"
+        b"Content-Length: 9\r\n\r\nrobots: x\r\n\r\n"
+    )
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://a.example/one\r\n"
+        b"WARC-Date: 2024-03-01T12:00:00Z\r\nContent-Length: 4\r\n\r\nGET \r\n\r\n"
+    )
+    # a conversion-style response without HTTP headers: payload kept whole
+    resp = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://c.example/raw\r\n"
+        b"WARC-Date: 2024-03-01T13:00:00Z\r\nContent-Type: text/html\r\n"
+        b"Content-Length: 11\r\n\r\n<p>body</p>\r\n\r\n"
+    )
+    got = parse_warc(info + req + resp)
+    assert got == [
+        ("https://c.example/raw", datetime(2024, 3, 1, 13, 0, 0, tzinfo=timezone.utc), b"<p>body</p>")
+    ]
+
+
+def test_truncated_tail_keeps_earlier_records(tmp_path):
+    p = str(tmp_path / "t.warc")
+    write_warc(p, _records(), compress=False)
+    with open(p, "rb") as fh:
+        data = fh.read()
+    got = parse_warc(data[:-40])  # cut into record 2's body
+    assert [u for u, _, _ in got] == ["https://a.example/one"]
+    # garbage header after a valid record: parse stops, no raise
+    assert [u for u, _, _ in parse_warc(data[: len(data) // 2] + b"NOT A HEADER")] != []
+
+
+def test_multimember_gzip_is_cc_layout(tmp_path):
+    p = str(tmp_path / "cc.warc.gz")
+    write_warc(p, _records(), compress=True)
+    with open(p, "rb") as fh:
+        raw = fh.read()
+    # must be TWO members (splittable layout), not one stream
+    assert raw.count(b"\x1f\x8b\x08") >= 2
+    # and each member independently decompressible
+    first_end = raw.find(b"\x1f\x8b\x08", 3)
+    assert b"WARC/1.0" in gzip.decompress(raw[:first_end])
+
+
+def test_read_warc_spark_to_pages_and_extractor(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    write_warc(str(d / "a.warc.gz"), [_records()[0]], compress=True)
+    write_warc(str(d / "b.warc"), [_records()[1]], compress=False)
+    pages = read_warc(spark, str(d))
+    rows = {r["url"]: r for r in pages.collect()}
+    assert set(rows) == {"https://a.example/one", "https://b.example/two"}
+    r = rows["https://a.example/one"]
+    assert bytes(r["html"]) == HTML1 and r["text"] is None and r["lang"] is None
+    assert r["warc_ts"] == TS
+    # feeds the boilerplate extractor end-to-end (WARC -> html -> text)
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import main_content
+
+    texts = {r["url"]: r["text"] for r in main_content(pages).collect()}
+    assert "specialized web transfer protocol" in texts["https://a.example/one"]
+    assert "request response semantics" in texts["https://b.example/two"]
+
+
+def test_job_html_extract_and_normalize_prepasses(spark):
+    """--html-extract fills NULL text from html (rows with text pass
+    through untouched) and --normalize-unicode runs the NFC corpus
+    pass — wired through the same _apply_prepasses the job runs."""
+    import argparse
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+    )
+    import run_pipeline
+    from pyspark.sql import functions as F
+
+    decomposed = "café"
+    rows = [
+        ("u0", bytearray(HTML1), None, "en"),
+        ("u1", bytearray(b"<p>ignored</p>"), f"existing {decomposed} text", "en"),
+        ("u2", None, None, "en"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string, lang string")
+    args = argparse.Namespace(
+        url_curation=False, pii_redact=False, paragraph_dedup=False, line_dedup=False,
+        clean=False, decontaminate=None, lm_select_permille=None, lm_reference=None,
+        html_extract=True, normalize_unicode="NFC",
+    )
+    out = {r.url: r.text for r in run_pipeline._apply_prepasses(spark, pages, args, F).collect()}
+    assert "specialized web transfer protocol" in out["u0"]
+    assert out["u1"] == "existing café text"  # untouched by extract, NFC-composed
+    assert out["u2"] is None  # nothing to extract from, nulls flow
