@@ -397,6 +397,28 @@ def q_entity_cooccurrence(spark, sf_dir):
     return cooccurrence_strength(_synth_triples(_t(spark, sf_dir, "documents")))
 
 
+def q_substring_spans(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. suffix-array semantics via
+    content-defined chunking): every doc also appears offset-shifted
+    by a 3-token prefix, so the detector must find the duplicated run
+    despite the alignment change — the property fixed-stride windows
+    lack. Value-verified against the full CDC pipeline in DuckDB."""
+    from coap_rfc_knowledge_graph_spark.operators.substring_dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("off0 off1 off2 "), F.col("text")).alias("text"),
+    )
+    spans = duplicate_spans(d.unionByName(shifted), p=8, min_span=20)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+    )
+
+
 def q_nsp_pairs(spark, sf_dir):
     """M11 data-prep: NSP sentence-pair generation over documents —
     per-doc lead() next sentence vs congruential-draw random partner
@@ -1178,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_normalize": q_unicode_normalize,
         "kg_negative_samples": q_kg_negative_samples,
         "entity_cooccurrence": q_entity_cooccurrence,
+        "substring_spans": q_substring_spans,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,
@@ -2615,6 +2638,61 @@ def oracle_sql() -> dict[str, str]:
                               / (CAST(n_subj AS DOUBLE) * CAST(n_obj AS DOUBLE))) AS BIGINT)
                      AS strength
             FROM pair p JOIN ns USING (subj_id) JOIN no USING (obj_id)
+        """,
+        "substring_spans": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, 'off0 off1 off2 ' || text AS text
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tl
+              FROM corpus
+            ),
+            toks AS (
+              SELECT doc_id, CAST(g.i AS BIGINT) AS pos, tl[g.i + 1] AS tok
+              FROM base, LATERAL (SELECT unnest(range(len(tl))) AS i) g
+            ),
+            anchored AS (
+              SELECT doc_id, pos, tok,
+                     CASE WHEN CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 8 = 0
+                          THEN 1 ELSE 0 END AS is_anchor
+              FROM toks
+            ),
+            keyed AS (
+              SELECT *, SUM(is_anchor) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS chunk_key
+              FROM anchored
+            ),
+            chunks AS (
+              SELECT doc_id, chunk_key, MIN(pos) AS start, MAX(pos) + 1 AS "end",
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+              FROM keyed GROUP BY doc_id, chunk_key
+            ),
+            counts AS (SELECT chash, COUNT(*) AS n_occ FROM chunks GROUP BY chash),
+            dup AS (
+              SELECT c.doc_id, c.start, c."end"
+              FROM chunks c JOIN counts USING (chash) WHERE n_occ > 1
+            ),
+            flagged AS (
+              SELECT *, CASE WHEN MAX("end") OVER (PARTITION BY doc_id ORDER BY start, "end"
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                          OR start > MAX("end") OVER (PARTITION BY doc_id ORDER BY start, "end"
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS new_island
+              FROM dup
+            ),
+            islands AS (
+              SELECT *, SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start, "end"
+                          ROWS UNBOUNDED PRECEDING) AS island
+              FROM flagged
+            )
+            SELECT doc_id, MIN(start) AS span_start, MAX("end") AS span_end,
+                   COUNT(*) AS n_chunks
+            FROM islands GROUP BY doc_id, island
+            HAVING MAX("end") - MIN(start) >= 20
         """,
         # minhash_near_dup / simhash_near_dup (UDF variants),
         # ann_ivf_topk, media_features, html_main_content,

@@ -282,6 +282,52 @@ def main() -> None:
             repeat=2,
         )
 
+        # round-4 ingest edge: boilerplate extraction from html bytes,
+        # the unicode pass, and KG-embedding negative sampling.
+        # Aggregate COMPUTED columns (not bare count) so nothing prunes.
+        from coap_rfc_knowledge_graph_spark.operators.html_extract import (
+            main_content,
+            synthetic_html_pages,
+        )
+        from coap_rfc_knowledge_graph_spark.operators.kg_embed import negative_samples
+        from coap_rfc_knowledge_graph_spark.operators.normalize import normalize_corpus
+
+        hpages = synthetic_html_pages(docs)
+        timed(
+            "html_main_content",
+            lambda: main_content(hpages).agg(F.sum("n_blocks_kept")).collect(),
+            repeat=2,
+        )
+        timed(
+            "unicode_normalize",
+            lambda: normalize_corpus(docs).agg(F.sum(F.length("text"))).collect(),
+            repeat=2,
+        )
+        timed(
+            "kg_negative_samples",
+            lambda: negative_samples(entrymod._synth_triples(docs), k=2)
+            .agg(F.sum("neg_subj_id")).collect(),
+            repeat=2,
+        )
+        # exact-substring dedup: the corpus + an offset-shifted copy,
+        # so the CDC detector does full real work (every doc duplicated)
+        from coap_rfc_knowledge_graph_spark.operators.substring_dedup import (
+            remove_duplicate_spans,
+        )
+
+        sub_corpus = docs.select("doc_id", "text").unionByName(
+            docs.select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.concat(F.lit("off0 off1 off2 "), F.col("text")).alias("text"),
+            )
+        )
+        timed(
+            "substring_dedup",
+            lambda: remove_duplicate_spans(sub_corpus, p=16, min_span=50)
+            .agg(F.sum("n_removed")).collect(),
+            repeat=2,
+        )
+
     queries_out = dict(timings)
     queries_out["docs_per_sec"] = round(n_docs / flagship, 2) if flagship else 0.0
     queries_out["n_docs"] = n_docs

@@ -120,9 +120,10 @@ def parse_warc(data: bytes) -> list[tuple[str, datetime | None, bytes]]:
     return pages
 
 
-def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
-    """WARC files under ``path`` -> pages DataFrame (text/lang NULL —
-    extraction is a downstream operator, not an ingest guess)."""
+def pages_from_warc_files(files: DataFrame) -> DataFrame:
+    """(content: binary) rows of whole WARC files -> pages rows. Shared
+    by the batch reader and the streaming source — the parse is
+    identical; only the file source differs."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -143,13 +144,35 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
                 }
             )
 
+    return files.select("content").mapInPandas(fn, PAGES_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
+    """WARC files under ``path`` -> pages DataFrame (text/lang NULL —
+    extraction is a downstream operator, not an ingest guess)."""
+    files = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    return pages_from_warc_files(files)
+
+
+def stream_warc_pages(
+    spark: SparkSession,
+    input_dir: str,
+    glob: str = "*.warc*",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Continuous crawl ingest: WARC files dropped into ``input_dir``
+    become a pages STREAM (binaryFile is a streaming file source, so
+    exactly-once file tracking comes from the checkpoint for free; the
+    unit of incremental work is one archive file — the same unit the
+    crawler produces). Compose with ``operators.html_extract.
+    fill_text_from_html`` and the stateful dedup downstream."""
     files = (
-        spark.read.format("binaryFile")
+        spark.readStream.format("binaryFile")
         .option("pathGlobFilter", glob)
-        .load(path)
-        .select("content")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(input_dir)
     )
-    return files.mapInPandas(fn, PAGES_SCHEMA)
+    return pages_from_warc_files(files)
 
 
 def write_warc(

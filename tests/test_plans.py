@@ -179,3 +179,36 @@ def test_decontaminate_single_gram_pass_and_broadcast(spark):
     p = optimized_str(df)
     assert p.count("md5") == 2, p  # one gram expression per input side
     assert "ResolvedHint (strategy=broadcast)" in p or "BroadcastHashJoin" in plan_str(df)
+
+
+def test_html_main_content_is_single_narrow_pass(spark):
+    """The boilerplate extractor must be ONE column-pruned mapInPandas:
+    no Exchange anywhere (a page's blocks never leave their row) and
+    the Arrow projection feeding it carries only (url, html)."""
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import main_content
+    from coap_rfc_knowledge_graph_spark.sources.pages import synthetic_pages
+
+    df = main_content(synthetic_pages(spark, 8))
+    p = plan_str(df)
+    tree = p.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    o = optimized_str(df)
+    proj = [ln for ln in o.splitlines() if "Project" in ln]
+    assert proj and all("warc_ts" not in ln and "lang" not in ln for ln in proj), o
+
+
+def test_negative_samples_no_cartesian_and_broadcast_preds(spark):
+    """Corrupted-triple generation must be equi-joins only: the entity
+    replacement joins on the dense rank (never a cross join against the
+    entity universe) and the tiny pred dictionary broadcasts."""
+    from coap_rfc_knowledge_graph_spark.operators.kg_embed import negative_samples
+
+    t = spark.range(200).select(
+        (F.col("id") % 37).alias("subj_id"),
+        F.concat(F.lit("p"), (F.col("id") % 3).cast("string")).alias("pred"),
+        ((F.col("id") * 5 + 2) % 37).alias("obj_id"),
+    ).filter("subj_id <> obj_id").distinct()
+    df = negative_samples(t, k=2)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p  # pred-code dictionary join-back
