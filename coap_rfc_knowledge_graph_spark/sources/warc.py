@@ -168,6 +168,9 @@ def stream_warc_pages(
     fill_text_from_html`` and the stateful dedup downstream."""
     files = (
         spark.readStream.format("binaryFile")
+        # streaming file sources need the schema up front; binaryFile's
+        # is fixed by the format
+        .schema("path string, modificationTime timestamp, length long, content binary")
         .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(input_dir)
