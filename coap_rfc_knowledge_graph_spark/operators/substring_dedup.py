@@ -111,7 +111,12 @@ def duplicate_spans(
 ) -> DataFrame:
     """Maximal duplicated token spans of >= ``min_span`` tokens:
     (doc_id, span_start, span_end, n_chunks)."""
-    chunks = doc_chunks(docs, p, id_col, text_col)
+    # the chunk table feeds BOTH the hash-count side and the join-back
+    # side; without truncating lineage the token explode + per-doc
+    # window would evaluate twice (the clean_corpus double-eval class
+    # from VERDICT r3). Lazy local checkpoint: materialized once on
+    # first use, shared by both consumers.
+    chunks = doc_chunks(docs, p, id_col, text_col).localCheckpoint(eager=False)
     counts = chunks.groupBy("chash").agg(F.count("*").alias("n_occ"))
     dup = (
         chunks.join(counts, on="chash")

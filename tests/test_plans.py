@@ -212,3 +212,18 @@ def test_negative_samples_no_cartesian_and_broadcast_preds(spark):
     p = plan_str(df)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "BroadcastHashJoin" in p, p  # pred-code dictionary join-back
+
+
+def test_substring_dedup_single_chunk_evaluation(spark):
+    """The chunk table (token explode + per-doc window) feeds both the
+    hash-count side and the join-back side; the checkpoint must make it
+    evaluate ONCE — the executed plan shows a single Generate/token
+    explode, and no global (non-doc-partitioned) sort."""
+    from coap_rfc_knowledge_graph_spark.operators.substring_dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    df = duplicate_spans(docs, p=16, min_span=50)
+    df.collect()  # checkpoint materializes on execution
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Generate") <= 1, p          # one token explode, not two
+    assert "Sort [" not in p.replace("Sort [doc_id", ""), p  # only per-doc sorts
