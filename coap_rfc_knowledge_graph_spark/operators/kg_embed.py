@@ -139,7 +139,9 @@ def cooccurrence_strength(
     equi-joins on the entity keys; marginals are corpus-entity-sized,
     joined by key, never broadcast-assumed."""
     subj, obj = F.col(subj_col).cast("long"), F.col(obj_col).cast("long")
-    t = triples.select(subj.alias("subj_id"), obj.alias("obj_id"))
+    # four consumers (total count + three aggregations) — truncate
+    # lineage so an expensive upstream triples plan evaluates once
+    t = triples.select(subj.alias("subj_id"), obj.alias("obj_id")).localCheckpoint(eager=False)
     pair = t.groupBy("subj_id", "obj_id").agg(F.count("*").alias("n_pair"))
     n_s = t.groupBy("subj_id").agg(F.count("*").alias("n_subj"))
     n_o = t.groupBy("obj_id").agg(F.count("*").alias("n_obj"))

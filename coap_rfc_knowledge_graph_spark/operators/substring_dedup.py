@@ -152,7 +152,12 @@ def remove_duplicate_spans(
 ) -> DataFrame:
     """docs -> (doc_id, text_kept, n_tokens, n_removed): every
     corpus-duplicated run of >= min_span tokens excised; untouched
-    docs pass through whole."""
+    docs pass through whole.
+
+    ``docs`` is consumed twice (span derivation + rewrite join-back);
+    callers passing a COMPUTED plan rather than a table scan should
+    localCheckpoint it first — the chunk table inside is already
+    checkpointed, so the second consumer re-reads only ``docs``."""
     spans = (
         duplicate_spans(docs, p, min_span, id_col, text_col)
         .groupBy("doc_id")

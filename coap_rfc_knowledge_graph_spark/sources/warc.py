@@ -52,13 +52,14 @@ def _gunzip_all(data: bytes) -> bytes:
     member-per-record layout; ``gzip.decompress`` handles multi-member
     but zlib with explicit loop is branch-free on trailing garbage)."""
     out = []
-    pos = 0
-    while pos < len(data):
+    mv = memoryview(data)  # O(1) slices — a bytes slice per member would
+    pos = 0                # be quadratic on CC's ~100k-member files
+    while pos < len(mv):
         d = zlib.decompressobj(wbits=47)  # 32+15: auto gzip/zlib header
-        out.append(d.decompress(data[pos:]))
+        out.append(d.decompress(mv[pos:]))
         if not d.unused_data:
             break
-        pos = len(data) - len(d.unused_data)
+        pos = len(mv) - len(d.unused_data)
     return b"".join(out)
 
 
