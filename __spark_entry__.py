@@ -406,8 +406,10 @@ def q_substring_spans(spark, sf_dir):
     from coap_rfc_knowledge_graph_spark.operators.substring_dedup import duplicate_spans
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # 10M offset: +100k would collide with real doc_ids on corpora of
+    # >= 100k docs, silently interleaving two docs' chunk streams
     shifted = d.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.concat(F.lit("off0 off1 off2 "), F.col("text")).alias("text"),
     )
     spans = duplicate_spans(d.unionByName(shifted), p=8, min_span=20)
@@ -2614,10 +2616,10 @@ def oracle_sql() -> dict[str, str]:
             drawn AS (
               SELECT *,
                 CAST((((subj_id % 1048576) * 1048573 + (obj_id % 1048576) * 8191
-                       + pred_code * 127 + neg_idx * 127 + 7) * 48271)
+                       + pred_code * 127 + neg_idx * 257 + 7) * 48271)
                      % 2147483647 % 2 AS INT) AS corrupt_side,
                 (((subj_id % 1048576) * 524287 + (obj_id % 1048576) * 131071
-                  + pred_code * 8191 + neg_idx * 127 + 13) * 48271)
+                  + pred_code * 8191 + neg_idx * 257 + 13) * 48271)
                   % 2147483647 % (SELECT n FROM nn) AS repl_rank
               FROM base
             )
@@ -2643,7 +2645,7 @@ def oracle_sql() -> dict[str, str]:
             WITH corpus AS (
               SELECT doc_id, text FROM documents
               UNION ALL
-              SELECT doc_id + 100000 AS doc_id, 'off0 off1 off2 ' || text AS text
+              SELECT doc_id + 10000000 AS doc_id, 'off0 off1 off2 ' || text AS text
               FROM documents
             ),
             base AS (

@@ -45,10 +45,9 @@ _BLOCK_TAGS = {
     "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "figure",
     "figcaption", "form", "fieldset", "hr", "br", "title", "body",
 }
-# void elements never get a matching end tag; entering one must not
-# increment the skip depth (HTMLParser reports them via handle_starttag)
-_VOID_TAGS = {"br", "hr", "img", "input", "meta", "link", "area", "base",
-              "col", "embed", "source", "track", "wbr"}
+# (void elements like <br>/<hr> need no special skip-depth handling:
+# none of them is a skip tag, so an unmatched start tag can only flush
+# a block, never unbalance the skip counter)
 
 
 class _BlockParser(HTMLParser):
@@ -73,7 +72,7 @@ class _BlockParser(HTMLParser):
         self._tag = next_tag
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in _SKIP_TAGS and tag not in _VOID_TAGS:
+        if tag in _SKIP_TAGS:
             self._skip += 1
             return
         if tag == "a":
@@ -82,7 +81,7 @@ class _BlockParser(HTMLParser):
             self._flush(tag)
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in _SKIP_TAGS and tag not in _VOID_TAGS:
+        if tag in _SKIP_TAGS:
             self._skip = max(0, self._skip - 1)
             return
         if tag == "a":
@@ -170,6 +169,17 @@ def keep_block(n_words: int, link_words: int, min_words: int, max_link_density: 
     return n_words >= min_words and link_words <= n_words * max_link_density
 
 
+def extract_main_text(
+    html: bytes | str | None, min_words: int, max_link_density: float
+) -> tuple[str, int, int]:
+    """One page -> (main text, blocks kept, blocks total). THE single
+    parse-gate-join composition — main_content and fill_text_from_html
+    must not diverge on the separator or the gate."""
+    blocks = parse_blocks(html)
+    kept = [t for _, t, nw, lw in blocks if keep_block(nw, lw, min_words, max_link_density)]
+    return "\n".join(kept), len(kept), len(blocks)
+
+
 MAIN_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -199,15 +209,11 @@ def main_content(
         for pdf in batches:
             urls, texts, keptc, totc = [], [], [], []
             for url, html in zip(pdf[url_col], pdf[html_col]):
-                blocks = parse_blocks(html)
-                kept = [
-                    t for _, t, nw, lw in blocks
-                    if keep_block(nw, lw, min_words, max_link_density)
-                ]
+                text, n_kept, n_total = extract_main_text(html, min_words, max_link_density)
                 urls.append(url)
-                texts.append("\n".join(kept))
-                keptc.append(len(kept))
-                totc.append(len(blocks))
+                texts.append(text)
+                keptc.append(n_kept)
+                totc.append(n_total)
             yield pd.DataFrame(
                 {
                     "url": urls,
@@ -238,11 +244,7 @@ def fill_text_from_html(
             out = pdf.copy()
             need = out["text"].isna() & out["html"].notna()
             out.loc[need, "text"] = [
-                "\n".join(
-                    t
-                    for _, t, nw, lw in parse_blocks(h)
-                    if keep_block(nw, lw, min_words, max_link_density)
-                )
+                extract_main_text(h, min_words, max_link_density)[0]
                 for h in out.loc[need, "html"]
             ]
             yield out

@@ -51,7 +51,10 @@ def _key(subj, pred_code, obj, j, m1: int, m2: int, m3: int, off: int):
     same literal arithmetic)."""
     s = F.pmod(subj, F.lit(1048576))
     o = F.pmod(obj, F.lit(1048576))
-    h = s * F.lit(m1) + o * F.lit(m2) + pred_code * F.lit(m3) + j * F.lit(127) + F.lit(off)
+    # j's multiplier (257) must differ from every m3: sharing it with
+    # pred_code's would alias (pred_code c, copy j+1) with (c+1, j) —
+    # the same structured-coupling class as the r3 nsp_pairs finding
+    h = s * F.lit(m1) + o * F.lit(m2) + pred_code * F.lit(m3) + j * F.lit(257) + F.lit(off)
     return F.pmod(h * F.lit(48271), F.lit(_MOD))
 
 

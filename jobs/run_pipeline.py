@@ -221,6 +221,10 @@ def main() -> None:
             ).hexdigest()
         prepass_params = {
             "url_curation": bool(args.url_curation),
+            # from_warc changes the INPUT DATA, not just a transform:
+            # a parquet run and a WARC run of the same --out must not
+            # share a curated_pages snapshot
+            "from_warc": bool(args.from_warc),
             "html_extract": bool(args.html_extract),
             "normalize_unicode": args.normalize_unicode,
             "domain_blocklist_sha256": blocklist_digest,

@@ -71,6 +71,25 @@ def test_truncated_tail_keeps_earlier_records(tmp_path):
     assert [u for u, _, _ in parse_warc(data[: len(data) // 2] + b"NOT A HEADER")] != []
 
 
+def test_corrupt_gzip_member_salvages_prior_records(tmp_path):
+    """A bit-flipped/garbage member mid-archive must cost the file's
+    REMAINING records, never raise into the Spark task (the module's
+    tolerance contract)."""
+    p = str(tmp_path / "c.warc.gz")
+    write_warc(p, [_records()[0]], compress=True)
+    with open(p, "rb") as fh:
+        valid = fh.read()
+    got = parse_warc(valid + b"\x1f\x8b\x08" + b"\x00" * 64)
+    assert [u for u, _, _ in got] == ["https://a.example/one"]
+    # truncated final member: same salvage
+    p2 = str(tmp_path / "t.warc.gz")
+    write_warc(p2, _records(), compress=True)
+    with open(p2, "rb") as fh:
+        both = fh.read()
+    got = parse_warc(both[:-20])
+    assert [u for u, _, _ in got] == ["https://a.example/one"]
+
+
 def test_multimember_gzip_is_cc_layout(tmp_path):
     p = str(tmp_path / "cc.warc.gz")
     write_warc(p, _records(), compress=True)

@@ -49,7 +49,12 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_FLAGSHIP_ONLY="1",  # scaling is a flagship metric
     )
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
-    if PIN_CORES and shutil.which("taskset") and cpus <= os.cpu_count():
+    # record whether pinning ACTUALLY happened, not whether it was
+    # requested — a host without taskset (or cpus > physical cores)
+    # silently falls back to the unpinned protocol, and SCALING.json
+    # must not claim otherwise
+    pinned = bool(PIN_CORES and shutil.which("taskset") and cpus <= os.cpu_count())
+    if pinned:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
         cmd,
@@ -60,7 +65,9 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         check=True,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    r = json.loads(line)
+    r["pinned"] = pinned
+    return r
 
 
 def best_of(n: int, cpus: int, sf_dir: str) -> dict:
@@ -92,7 +99,7 @@ def main() -> None:
         "flagship_sec_low": r_lo["value"],
         "flagship_sec_high": r_hi["value"],
         "scaling_efficiency": round(eff, 3),
-        "core_pinned": PIN_CORES,
+        "core_pinned": r_lo["pinned"] and r_hi["pinned"],
         "target": 0.8,
         "meets_target": eff >= 0.8,
     }
