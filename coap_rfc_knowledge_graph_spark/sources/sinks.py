@@ -42,3 +42,41 @@ def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def _nt_escape(col):
+    """N-Triples string-literal escaping (RDF 1.1 canonical subset:
+    backslash first, then quote, newline, CR, tab) — native regexp
+    codegen, no Python."""
+    c = F.regexp_replace(col, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', r'\\"')
+    c = F.regexp_replace(c, "\n", r"\\n")
+    c = F.regexp_replace(c, "\r", r"\\r")
+    return F.regexp_replace(c, "\t", r"\\t")
+
+
+def write_ntriples(
+    triples: DataFrame,
+    path: str,
+    base_iri: str = "urn:kg:",
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> None:
+    """Graph materialize in the interchange format every triple store
+    loads: one ``<subj> <pred> "obj" .`` line per triple, distributed
+    text write (line-per-row, so files concatenate into one valid
+    N-Triples document). Subjects/predicates become IRIs under
+    ``base_iri`` (percent-free ids expected: numeric entity ids and
+    the predicate vocabulary); objects are escaped string literals.
+    Projection + write only — zero shuffle at any graph size."""
+    line = F.concat(
+        F.lit(f"<{base_iri}e"),
+        F.col(subj_col).cast("string"),
+        F.lit(f"> <{base_iri}p/"),
+        F.regexp_replace(F.col(pred_col), r"[^0-9A-Za-z_.~-]", "_"),
+        F.lit('> "'),
+        _nt_escape(F.col(obj_col).cast("string")),
+        F.lit('" .'),
+    )
+    triples.select(line.alias("value")).write.mode("overwrite").text(path)

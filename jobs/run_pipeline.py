@@ -110,6 +110,18 @@ def main() -> None:
         "--paragraph-dedup, which dedups across the whole corpus",
     )
     ap.add_argument(
+        "--substring-dedup",
+        type=int,
+        nargs="?",
+        const=50,
+        default=None,
+        metavar="MIN_SPAN",
+        help="excise corpus-duplicated token runs of at least MIN_SPAN "
+        "tokens (default 50, Lee et al.'s threshold) via content-"
+        "defined chunking; runs after the page-level dedups, before "
+        "--clean",
+    )
+    ap.add_argument(
         "--lm-select-permille",
         type=int,
         default=None,
@@ -177,6 +189,7 @@ def main() -> None:
         or args.pii_redact
         or args.paragraph_dedup
         or args.line_dedup
+        or args.substring_dedup is not None
         or args.lm_select_permille is not None
     )
     if prepass_active:
@@ -233,6 +246,7 @@ def main() -> None:
             "pii_redact": bool(args.pii_redact),
             "paragraph_dedup": bool(args.paragraph_dedup),
             "line_dedup": bool(args.line_dedup),
+            "substring_dedup": args.substring_dedup,
             "clean": bool(args.clean),
             "decontaminate": args.decontaminate,
             "lm_select_permille": args.lm_select_permille,
@@ -320,6 +334,19 @@ def _apply_prepasses(spark, pages, args, F):
             pages = pages.drop("text").join(
                 kept.select("url", F.col("text_kept").alias("text")), "url"
             )
+    if getattr(args, "substring_dedup", None) is not None:
+        from coap_rfc_knowledge_graph_spark.operators.substring_dedup import (
+            remove_duplicate_spans,
+        )
+
+        # one checkpoint serves all three consumers (span derivation,
+        # rewrite join inside the operator, and the join-back here) —
+        # upstream prepasses must not re-evaluate
+        pages = pages.localCheckpoint(eager=False)
+        kept = remove_duplicate_spans(pages, min_span=args.substring_dedup, id_col="url")
+        pages = pages.drop("text").join(
+            kept.select(F.col("doc_id").alias("url"), F.col("text_kept").alias("text")), "url"
+        )
     if args.clean:
         from coap_rfc_knowledge_graph_spark.operators.text_stats import clean_corpus
 

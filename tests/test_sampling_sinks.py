@@ -53,3 +53,36 @@ def test_write_sentences_text(spark, tmp_path):
     joined = {b.splitlines()[0]: b.splitlines() for b in blocks}
     assert ["A zero.", "A one.", "A two."] in [b.splitlines() for b in blocks]
     assert ["B zero.", "B one."] in [b.splitlines() for b in blocks]
+
+
+def test_write_ntriples_roundtrip(spark, tmp_path):
+    """Adversarial literals (quote, backslash, newline, tab) must
+    escape to valid N-Triples and unescape back byte-identically;
+    predicates IRI-sanitized; files concatenate to one document."""
+    from coap_rfc_knowledge_graph_spark.sources.sinks import write_ntriples
+
+    rows = [
+        (1, "defines", 'plain value'),
+        (2, "has part", 'quote " inside'),
+        (3, "p\\q", "back\\slash and\nnewline and\ttab"),
+    ]
+    t = spark.createDataFrame(rows, "subj_id long, pred string, obj string")
+    out = str(tmp_path / "nt")
+    write_ntriples(t, out)
+    lines = sorted(r["value"] for r in spark.read.text(out).collect())
+    assert len(lines) == 3
+    import re
+
+    parsed = {}
+    for ln in lines:
+        m = re.fullmatch(r"<urn:kg:e(\d+)> <urn:kg:p/([0-9A-Za-z_.~-]+)> \"(.*)\" \.", ln, re.S)
+        assert m, ln
+        unescaped = (
+            m.group(3)
+            .replace("\\t", "\t").replace("\\r", "\r").replace("\\n", "\n")
+            .replace('\\"', '"').replace("\\\\", "\\")
+        )
+        parsed[int(m.group(1))] = (m.group(2), unescaped)
+    assert parsed[1] == ("defines", "plain value")
+    assert parsed[2] == ("has_part", 'quote " inside')
+    assert parsed[3] == ("p_q", "back\\slash and\nnewline and\ttab")

@@ -160,3 +160,71 @@ def test_within_doc_repetition_counts(spark):
     assert len(spans) >= 1
     total = sum(r["span_end"] - r["span_start"] for r in spans)
     assert total >= 30  # both copies' interiors flagged
+
+
+def test_fuzz_against_reference(spark):
+    """Seeded random corpora with planted shared runs: the distributed
+    CDC pipeline must equal the pure-Python reference exactly, doc for
+    doc, across sizes, vocabularies and p."""
+    import random
+
+    rng = random.Random(4242)
+    vocab = [f"w{i}" for i in range(60)]  # small vocab -> chunk collisions happen
+    docs = {}
+    runs = [[rng.choice(vocab) for _ in range(rng.randint(25, 70))] for _ in range(4)]
+    for d in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        for _ in range(rng.randint(0, 2)):  # plant 0-2 shared runs
+            toks += rng.choice(runs) + [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+        docs[d] = toks
+    sdf = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items() if t], "doc_id long, text string"
+    )
+    for p, min_span in [(4, 20), (8, 15)]:
+        got: dict[int, list] = {}
+        for r in duplicate_spans(sdf, p=p, min_span=min_span).collect():
+            got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+        want = _ref_spans({d: t for d, t in docs.items() if t}, p=p, min_span=min_span)
+        assert {d: sorted(s) for d, s in got.items()} == want, (p, min_span)
+
+
+def test_job_substring_dedup_prepass(spark):
+    """--substring-dedup MIN_SPAN wired through _apply_prepasses: the
+    duplicated run vanishes from both pages, unique text survives, and
+    non-text columns pass through."""
+    import argparse
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+    )
+    import run_pipeline
+
+    shared = [f"d{i}" for i in range(150)]  # long enough for p=16 anchors
+    toks = {
+        "u0": ["alpha", "beta"] + shared,
+        "u1": shared + ["gamma", "delta"],
+        "u2": ["just", "unique", "words", "here"],
+    }
+    rows = [(u, None, " ".join(t), "en") for u, t in toks.items()]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string, lang string")
+    args = argparse.Namespace(
+        url_curation=False, pii_redact=False, paragraph_dedup=False, line_dedup=False,
+        clean=False, decontaminate=None, lm_select_permille=None, lm_reference=None,
+        substring_dedup=20,
+    )
+    out = {r.url: r for r in run_pipeline._apply_prepasses(spark, pages, args, F).collect()}
+    # expected output from the pure-Python reference at the job's
+    # defaults (p=16, min_span from the flag)
+    want_spans = _ref_spans(toks, p=16, min_span=20)
+    for u, t in toks.items():
+        drop = set()
+        for s, e in want_spans.get(u, []):
+            drop.update(range(s, e))
+        expected = " ".join(tok for i, tok in enumerate(t) if i not in drop)
+        assert out[u].text == expected, u
+    assert out["u2"].text == "just unique words here"
+    assert want_spans.get("u0") and want_spans.get("u1")  # dedup actually fired
+    assert "alpha" in out["u0"].text and "gamma" in out["u1"].text
+    assert out["u0"].lang == "en"  # passthrough columns intact
