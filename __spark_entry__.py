@@ -397,6 +397,26 @@ def q_entity_cooccurrence(spark, sf_dir):
     return cooccurrence_strength(_synth_triples(_t(spark, sf_dir, "documents")))
 
 
+def q_triple_provenance(spark, sf_dir):
+    """Distinct-fact materialization with evidence: support count,
+    exact distinct-source count, K-sliced source sample — a two-level
+    source-salted aggregation (state bounded at any support count)."""
+    from coap_rfc_knowledge_graph_spark.operators.provenance import triple_provenance
+
+    d = F.col("doc_id")
+    sightings = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            (d % 211).cast("long").alias("subj"),
+            F.concat(F.lit("p"), (d % 5).cast("string")).alias("pred"),
+            ((d * 7 + 1) % 211).cast("long").alias("obj"),
+            F.concat(F.lit("u"), (d % 57).cast("string")).alias("url"),
+        )
+        .filter(F.col("subj") != F.col("obj"))
+    )
+    return triple_provenance(sightings, k_sources=5)
+
+
 def q_substring_spans(spark, sf_dir):
     """Exact-substring dedup (Lee et al. suffix-array semantics via
     content-defined chunking): every doc also appears offset-shifted
@@ -1203,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": q_kg_negative_samples,
         "entity_cooccurrence": q_entity_cooccurrence,
         "substring_spans": q_substring_spans,
+        "triple_provenance": q_triple_provenance,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,
@@ -2640,6 +2661,20 @@ def oracle_sql() -> dict[str, str]:
                               / (CAST(n_subj AS DOUBLE) * CAST(n_obj AS DOUBLE))) AS BIGINT)
                      AS strength
             FROM pair p JOIN ns USING (subj_id) JOIN no USING (obj_id)
+        """,
+        "triple_provenance": """
+            WITH s AS (
+              SELECT CAST(doc_id % 211 AS BIGINT) AS subj,
+                     'p' || CAST(doc_id % 5 AS VARCHAR) AS pred,
+                     CAST((doc_id * 7 + 1) % 211 AS BIGINT) AS obj,
+                     'u' || CAST(doc_id % 57 AS VARCHAR) AS src
+              FROM documents
+              WHERE doc_id % 211 <> (doc_id * 7 + 1) % 211
+            )
+            SELECT subj, pred, obj, COUNT(*) AS support,
+                   COUNT(DISTINCT src) AS n_sources,
+                   list_slice(list_sort(list(DISTINCT src)), 1, 5) AS sources
+            FROM s GROUP BY subj, pred, obj
         """,
         "substring_spans": """
             WITH corpus AS (

@@ -1,0 +1,58 @@
+"""Triple provenance: collapse per-page extractions into one graph
+fact with evidence.
+
+The extraction stage emits one triple row per (page, sentence) it was
+found in; the materialized graph wants one row per DISTINCT
+(subj, pred, obj) carrying how often and where it was seen — the
+support count drives confidence thresholds, and the source sample
+drives auditability (the reference keeps `rule_sentence_num` pointers
+back into the corpus for the same reason —
+CoAP_contradiction_checking.py:210-216).
+
+Scale shape: a single two-level salted aggregation, the same pattern
+as ``dedup.exact_duplicates``: a mega-fact asserted by half the corpus
+("coap, is_a, protocol" at 10^12 pages) would otherwise funnel every
+evidence row through one reducer. Level 1 aggregates per
+(fact, salt bucket) with the source sample K-sliced; level 2 merges
+the <= ``salt_buckets`` partials and re-slices, so state per group is
+bounded by K x buckets at ANY support count. Counts stay exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triple_provenance(
+    triples: DataFrame,
+    k_sources: int = 5,
+    salt_buckets: int = 32,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    source_col: str = "url",
+) -> DataFrame:
+    """triples (one row per sighting) -> one row per distinct fact:
+    (subj, pred, obj, support, n_sources, sources) where ``sources`` is
+    the lexicographically-first ``k_sources`` distinct source ids."""
+    key = [F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred"), F.col(obj_col).alias("obj")]
+    salted = triples.select(
+        *key,
+        F.col(source_col).alias("src"),
+        F.pmod(F.xxhash64(F.col(source_col)), F.lit(salt_buckets)).alias("__salt"),
+    )
+    # the salt is derived from the SOURCE id, so each distinct src
+    # lands in exactly one bucket — per-bucket distinct counts sum to
+    # the exact global distinct count (a random salt would overcount)
+    level1 = salted.groupBy("subj", "pred", "obj", "__salt").agg(
+        F.count("*").alias("n"),
+        F.slice(F.array_sort(F.collect_set("src")), 1, k_sources).alias("srcs"),
+        F.countDistinct("src").alias("nd"),
+    )
+    return level1.groupBy("subj", "pred", "obj").agg(
+        F.sum("n").alias("support"),
+        F.sum("nd").alias("n_sources"),
+        F.slice(F.array_sort(F.array_distinct(F.flatten(F.collect_list("srcs")))), 1, k_sources).alias(
+            "sources"
+        ),
+    )
