@@ -414,7 +414,17 @@ def q_triple_provenance(spark, sf_dir):
         )
         .filter(F.col("subj") != F.col("obj"))
     )
-    return triple_provenance(sightings, k_sources=5)
+    # sources joined to one string: scalar cells hash engine-
+    # identically (array cells stringify differently across bridges —
+    # same convention as q_quantize_embeddings)
+    return triple_provenance(sightings, k_sources=5).select(
+        "subj",
+        "pred",
+        "obj",
+        "support",
+        "n_sources",
+        F.array_join("sources", ",").alias("sources"),
+    )
 
 
 def q_substring_spans(spark, sf_dir):
@@ -2673,7 +2683,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT subj, pred, obj, COUNT(*) AS support,
                    COUNT(DISTINCT src) AS n_sources,
-                   list_slice(list_sort(list(DISTINCT src)), 1, 5) AS sources
+                   array_to_string(list_slice(list_sort(list(DISTINCT src)), 1, 5), ',') AS sources
             FROM s GROUP BY subj, pred, obj
         """,
         "substring_spans": """

@@ -77,5 +77,5 @@ def test_driver_oracle_matches_duckdb(spark):
     cols = sorted(sdf.columns)
     got = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
     pdf = con.execute(entry.oracle_sql()["triple_provenance"]).df()
-    want = sorted(tuple(str(list(row[c]) if c == "sources" else row[c]) for c in cols) for _, row in pdf.iterrows())
+    want = sorted(tuple(str(row[c]) for c in cols) for _, row in pdf.iterrows())
     assert got == want
