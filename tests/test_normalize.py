@@ -77,3 +77,38 @@ def test_nfc_matches_duckdb(spark):
     con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
     want = dict(con.execute("SELECT i, nfc_normalize(text) FROM t").fetchall())
     assert got == want
+
+
+def test_nfc_fuzz_unicodedata_vs_duckdb():
+    """No-Spark cross-engine fuzz: 2,000 seeded strings over the
+    normalization-relevant assigned ranges (combining marks, hangul
+    jamo/syllables, CJK compat, ligatures, enclosed) — Python
+    unicodedata and DuckDB nfc_normalize must agree byte-for-byte, or
+    the unicode_normalize driver oracle would drift with a Unicode
+    version bump."""
+    import random
+    import unicodedata
+
+    import duckdb
+
+    rng = random.Random(99)
+    ranges = [
+        (0x20, 0x7E), (0xA0, 0x17F), (0x300, 0x36F), (0x370, 0x3FF), (0x400, 0x4FF),
+        (0x1E00, 0x1EFF), (0x1100, 0x11FF), (0xAC00, 0xD7A3), (0xF900, 0xFA6D),
+        (0xFB00, 0xFB06), (0x2460, 0x24FF), (0x3040, 0x30FF),
+    ]
+
+    def rand_str():
+        out = []
+        for _ in range(rng.randint(1, 24)):
+            lo, hi = rng.choice(ranges)
+            out.append(chr(rng.randint(lo, hi)))
+        return "".join(out)
+
+    cases = [rand_str() for _ in range(2000)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    want = dict(con.execute("SELECT i, nfc_normalize(s) FROM t").fetchall())
+    for i, s in enumerate(cases):
+        assert unicodedata.normalize("NFC", s) == want[i], repr(s)
