@@ -9,13 +9,18 @@ drives auditability (the reference keeps `rule_sentence_num` pointers
 back into the corpus for the same reason —
 CoAP_contradiction_checking.py:210-216).
 
-Scale shape: a single two-level salted aggregation, the same pattern
-as ``dedup.exact_duplicates``: a mega-fact asserted by half the corpus
+Scale shape: a two-level salted aggregation, the same pattern as
+``dedup.exact_duplicates``: a mega-fact asserted by half the corpus
 ("coap, is_a, protocol" at 10^12 pages) would otherwise funnel every
-evidence row through one reducer. Level 1 aggregates per
-(fact, salt bucket) with the source sample K-sliced; level 2 merges
-the <= ``salt_buckets`` partials and re-slices, so state per group is
-bounded by K x buckets at ANY support count. Counts stay exact."""
+evidence row through one reducer. Level 1 aggregates per (fact, salt
+bucket); level 2 merges the <= ``salt_buckets`` partials, whose
+payload is K-sliced, so level-2 state is bounded by K x buckets at
+any support count. Level-1 state is the bucket's DISTINCT sources
+(1/salt_buckets of the fact's source set — exact lexicographic
+first-K and exact distinct counts are not computable from less), so
+``salt_buckets`` is the lever when one fact's source set alone is
+executor-memory-sized; support counts are constant-state
+throughout. Counts stay exact."""
 
 from __future__ import annotations
 
@@ -43,11 +48,20 @@ def triple_provenance(
     )
     # the salt is derived from the SOURCE id, so each distinct src
     # lands in exactly one bucket — per-bucket distinct counts sum to
-    # the exact global distinct count (a random salt would overcount)
+    # the exact global distinct count (a random salt would overcount).
+    # One collect_set serves both the K-slice and the distinct count:
+    # a separate countDistinct would force Spark's extra two-pass
+    # distinct-aggregate plan for a number that is just size(set).
     level1 = salted.groupBy("subj", "pred", "obj", "__salt").agg(
         F.count("*").alias("n"),
-        F.slice(F.array_sort(F.collect_set("src")), 1, k_sources).alias("srcs"),
-        F.countDistinct("src").alias("nd"),
+        F.array_sort(F.collect_set("src")).alias("srcset"),
+    ).select(
+        "subj",
+        "pred",
+        "obj",
+        "n",
+        F.slice("srcset", 1, k_sources).alias("srcs"),
+        F.size("srcset").alias("nd"),
     )
     return level1.groupBy("subj", "pred", "obj").agg(
         F.sum("n").alias("support"),

@@ -69,14 +69,22 @@ def write_ntriples(
     N-Triples document). Subjects/predicates become IRIs under
     ``base_iri`` (percent-free ids expected: numeric entity ids and
     the predicate vocabulary); objects are escaped string literals.
-    Projection + write only — zero shuffle at any graph size."""
+    Predicates are percent-encoded (url_encode, '+' restored to %20)
+    so the term mapping stays INJECTIVE — substituting '_' for every
+    disallowed byte would silently merge 'has part' with 'has_part'.
+    Rows with a NULL term are dropped explicitly: a NULL concat would
+    otherwise write a blank line — an invisible fact loss AND invalid
+    N-Triples. Projection + write only — zero shuffle at any graph
+    size."""
+    pred_iri = F.regexp_replace(F.url_encode(F.col(pred_col)), r"\+", "%20")
     line = F.concat(
         F.lit(f"<{base_iri}e"),
         F.col(subj_col).cast("string"),
         F.lit(f"> <{base_iri}p/"),
-        F.regexp_replace(F.col(pred_col), r"[^0-9A-Za-z_.~-]", "_"),
+        pred_iri,
         F.lit('> "'),
         _nt_escape(F.col(obj_col).cast("string")),
         F.lit('" .'),
     )
-    triples.select(line.alias("value")).write.mode("overwrite").text(path)
+    complete = triples.na.drop(subset=[subj_col, pred_col, obj_col])
+    complete.select(line.alias("value")).write.mode("overwrite").text(path)

@@ -157,6 +157,10 @@ def main() -> None:
         )
     if args.lm_select_permille is not None and not 0 < args.lm_select_permille <= 1000:
         ap.error("--lm-select-permille must be in (0, 1000]")
+    if args.substring_dedup is not None and args.substring_dedup < 1:
+        # min_span 0 would excise every duplicated 1-token chunk of a
+        # common anchored word — shredding ordinary text corpus-wide
+        ap.error("--substring-dedup MIN_SPAN must be >= 1")
     if args.lm_reference and args.lm_select_permille is None:
         ap.error("--lm-reference requires --lm-select-permille")
 

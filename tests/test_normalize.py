@@ -97,13 +97,19 @@ def test_nfc_fuzz_unicodedata_vs_duckdb():
         (0x1E00, 0x1EFF), (0x1100, 0x11FF), (0xAC00, 0xD7A3), (0xF900, 0xFA6D),
         (0xFB00, 0xFB06), (0x2460, 0x24FF), (0x3040, 0x30FF),
     ]
+    # ASSIGNED code points only: the normalization stability guarantee
+    # covers assigned characters — an unassigned gap (U+0378, U+3040,
+    # ...) assigned later with a decomposition would make two engines
+    # straddling that Unicode version disagree, a spurious failure
+    pool = [
+        chr(c)
+        for lo, hi in ranges
+        for c in range(lo, hi + 1)
+        if unicodedata.name(chr(c), None) is not None
+    ]
 
     def rand_str():
-        out = []
-        for _ in range(rng.randint(1, 24)):
-            lo, hi = rng.choice(ranges)
-            out.append(chr(rng.randint(lo, hi)))
-        return "".join(out)
+        return "".join(rng.choice(pool) for _ in range(rng.randint(1, 24)))
 
     cases = [rand_str() for _ in range(2000)]
     con = duckdb.connect()

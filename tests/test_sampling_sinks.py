@@ -65,24 +65,27 @@ def test_write_ntriples_roundtrip(spark, tmp_path):
         (1, "defines", 'plain value'),
         (2, "has part", 'quote " inside'),
         (3, "p\\q", "back\\slash and\nnewline and\ttab"),
+        (4, None, "null pred must be dropped, not a blank line"),
     ]
     t = spark.createDataFrame(rows, "subj_id long, pred string, obj string")
     out = str(tmp_path / "nt")
     write_ntriples(t, out)
     lines = sorted(r["value"] for r in spark.read.text(out).collect())
-    assert len(lines) == 3
+    assert len(lines) == 3 and all(lines)  # null row dropped, no blanks
     import re
+    import urllib.parse
 
     parsed = {}
     for ln in lines:
-        m = re.fullmatch(r"<urn:kg:e(\d+)> <urn:kg:p/([0-9A-Za-z_.~-]+)> \"(.*)\" \.", ln, re.S)
+        m = re.fullmatch(r"<urn:kg:e(\d+)> <urn:kg:p/([0-9A-Za-z_.~%*-]+)> \"(.*)\" \.", ln, re.S)
         assert m, ln
         unescaped = (
             m.group(3)
             .replace("\\t", "\t").replace("\\r", "\r").replace("\\n", "\n")
             .replace('\\"', '"').replace("\\\\", "\\")
         )
-        parsed[int(m.group(1))] = (m.group(2), unescaped)
+        parsed[int(m.group(1))] = (urllib.parse.unquote(m.group(2)), unescaped)
+    # percent-encoding keeps the predicate mapping injective
     assert parsed[1] == ("defines", "plain value")
-    assert parsed[2] == ("has_part", 'quote " inside')
-    assert parsed[3] == ("p_q", "back\\slash and\nnewline and\ttab")
+    assert parsed[2] == ("has part", 'quote " inside')
+    assert parsed[3] == ("p\\q", "back\\slash and\nnewline and\ttab")
