@@ -149,6 +149,64 @@ def test_stream_warc_pages_matches_batch(spark, tmp_path):
     assert got["https://a.example/one"]["warc_ts"] == TS
 
 
+def test_warc_to_kg_end_to_end(spark, tmp_path):
+    """The whole north-rule loop through the spark-submit entry point:
+    WARC archives -> --from-warc ingest -> --html-extract boilerplate
+    removal -> --normalize-unicode -> resumable KG build (sentences,
+    mentions, triples, entities) with non-empty stage manifests."""
+    import sys
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from coap_rfc_knowledge_graph_spark.sources.pages import synthetic_pages
+
+    # real extraction-bearing text, wrapped in boilerplate-laden HTML
+    docs = (
+        synthetic_pages(spark, 16)
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("url", "text")
+        .limit(12)
+        .collect()
+    )
+    assert len(docs) == 12
+    nav = '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/b">Shop</a></nav>'
+    records = []
+    for i, r in enumerate(docs):
+        body = r["text"].replace("\n\n", "</p><p>")
+        html = f"<html><head><script>x=1</script></head><body>{nav}<article><p>{body}</p></article></html>"
+        records.append((r["url"], datetime(2024, 3, 1, 6 + (i % 12)), html.encode()))
+    d = tmp_path / "crawl"
+    d.mkdir()
+    write_warc(str(d / "seg0.warc.gz"), records[:6], compress=True)
+    write_warc(str(d / "seg1.warc.gz"), records[6:], compress=True)
+
+    out = str(tmp_path / "state")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+    )
+    import run_pipeline
+
+    old = sys.argv
+    try:
+        sys.argv = [
+            "run_pipeline.py", "--pages", str(d), "--out", out,
+            "--from-warc", "--html-extract", "--normalize-unicode", "NFC",
+            "--url-partitions", "4",
+        ]
+        run_pipeline.main()
+    finally:
+        sys.argv = old
+    from coap_rfc_knowledge_graph_spark.plans.checkpointing import StageStore
+
+    store = StageStore(out)
+    curated = store.read(spark, "curated_pages")
+    assert curated.count() == 12
+    assert curated.filter(F.col("text").contains("Home")).count() == 0  # nav stripped
+    for stage in ("sentences", "mentions", "triples", "entities"):
+        assert store.manifest(stage)["row_count"] > 0, stage
+
+
 def test_job_html_extract_and_normalize_prepasses(spark):
     """--html-extract fills NULL text from html (rows with text pass
     through untouched) and --normalize-unicode runs the NFC corpus
