@@ -397,6 +397,20 @@ def q_entity_cooccurrence(spark, sf_dir):
     return cooccurrence_strength(_synth_triples(_t(spark, sf_dir, "documents")))
 
 
+def q_web_link_graph(spark, sf_dir):
+    """Hyperlink-graph extraction from html bytes (event parser +
+    urljoin resolution). Over the synthetic page skeleton every doc
+    yields exactly the 7 boilerplate links (the corpus text carries no
+    angle brackets), so the full edge set is DuckDB-expressible and
+    value-verified despite the parser not being SQL."""
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import (
+        html_links,
+        synthetic_html_pages,
+    )
+
+    return html_links(synthetic_html_pages(_t(spark, sf_dir, "documents")))
+
+
 def q_triple_provenance(spark, sf_dir):
     """Distinct-fact materialization with evidence: support count,
     exact distinct-source count, K-sliced source sample — a two-level
@@ -1234,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_cooccurrence": q_entity_cooccurrence,
         "substring_spans": q_substring_spans,
         "triple_provenance": q_triple_provenance,
+        "web_link_graph": q_web_link_graph,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,
@@ -2671,6 +2686,23 @@ def oracle_sql() -> dict[str, str]:
                               / (CAST(n_subj AS DOUBLE) * CAST(n_obj AS DOUBLE))) AS BIGINT)
                      AS strength
             FROM pair p JOIN ns USING (subj_id) JOIN no USING (obj_id)
+        """,
+        "web_link_graph": """
+            WITH base AS (
+              SELECT 'https://synth.example/' || CAST(doc_id AS VARCHAR) AS src
+              FROM documents
+            ),
+            l(dst, anchor) AS (
+              VALUES ('https://synth.example/', 'Home'),
+                     ('https://synth.example/a', 'News'),
+                     ('https://synth.example/b', 'Shop'),
+                     ('https://synth.example/c', 'Contact us'),
+                     (NULL, 'cookies'),
+                     ('https://synth.example/tos', 'Terms'),
+                     ('https://synth.example/privacy', 'Privacy')
+            )
+            SELECT src, COALESCE(dst, src) AS dst, anchor
+            FROM base CROSS JOIN l
         """,
         "triple_provenance": """
             WITH s AS (

@@ -226,6 +226,101 @@ def main_content(
     return pages.select(url_col, html_col).mapInPandas(fn, MAIN_SCHEMA)
 
 
+class _LinkParser(HTMLParser):
+    """Streaming hyperlink extractor: (href, anchor text) per <a>,
+    script/style/head subtrees skipped, nested <a> tolerated (HTML
+    forbids it but crawls contain it — inner link wins, outer closes)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._skip = 0
+        self._href: str | None = None
+        self._words: list[str] = []
+
+    def _close_link(self) -> None:
+        if self._href is not None:
+            self.links.append((self._href, " ".join(self._words)))
+        self._href, self._words = None, []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if tag == "a":
+            if self._href is not None:
+                self._close_link()
+            href = next((v for k, v in attrs if k == "href"), None)
+            self._href = href.strip() if href else None
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if tag == "a":
+            self._close_link()
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip and self._href is not None:
+            self._words.extend(data.split())
+
+    def close(self) -> None:
+        super().close()
+        self._close_link()
+
+
+def parse_links(html: bytes | str | None) -> list[tuple[str, str]]:
+    """One page -> [(raw href, anchor text)]. Pure function."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _LinkParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return []
+    return p.links
+
+
+EDGES_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.StringType()),
+        T.StructField("dst", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+    ]
+)
+
+
+def html_links(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """pages -> the REAL hyperlink graph: (src, dst, anchor) edges with
+    hrefs resolved against the page url (urljoin), fragments dropped,
+    http(s) only. Column-pruned mapInPandas — the web-graph input the
+    ``webgraph`` operators (PageRank, degrees, components) consume at
+    scale; dedup/weight downstream with a groupBy, which shuffles only
+    (url, url, anchor) triples, never page bytes."""
+    from urllib.parse import urldefrag, urljoin
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, dsts, anchors = [], [], []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                for href, anchor in parse_links(html):
+                    try:
+                        dst = urldefrag(urljoin(url or "", href)).url
+                    except ValueError:
+                        continue  # pathological href (bad IPv6 bracket etc.)
+                    if not dst.startswith(("http://", "https://")):
+                        continue
+                    srcs.append(url)
+                    dsts.append(dst)
+                    anchors.append(anchor)
+            yield pd.DataFrame({"src": srcs, "dst": dsts, "anchor": anchors})
+
+    return pages.select(url_col, html_col).mapInPandas(fn, EDGES_SCHEMA)
+
+
 def fill_text_from_html(
     pages: DataFrame,
     min_words: int = 5,

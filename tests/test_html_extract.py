@@ -134,3 +134,86 @@ def test_main_content_feeds_extraction_pipeline(spark):
     )
     sents = extract_sentences(curated, url_partitions=4)
     assert sents.count() > 0
+
+
+LINK_PAGE = b"""<html><head><script>var a = '<a href="/fake">x</a>';</script></head>
+<body>
+<p>See <a href="/rfc7252">the spec</a> and <a href="https://other.example/page#frag">external</a>.</p>
+<a href="mailto:x@y.z">mail</a> <a href="javascript:void(0)">js</a> <a>no href</a>
+<a href="a.html"><span>nested <b>anchor words</b></span></a>
+</body></html>"""
+
+
+def test_parse_links_and_resolution(spark):
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import html_links, parse_links
+
+    raw = parse_links(LINK_PAGE)
+    assert ("/fake", "x") not in raw  # script subtree skipped
+    assert ("a.html", "nested anchor words") in raw
+    pages = spark.createDataFrame(
+        [("https://site.example/dir/page.html", bytearray(LINK_PAGE))], "url string, html binary"
+    )
+    edges = {(r["dst"], r["anchor"]) for r in html_links(pages).collect()}
+    assert ("https://site.example/rfc7252", "the spec") in edges  # root-relative
+    assert ("https://other.example/page", "external") in edges  # fragment dropped
+    assert ("https://site.example/dir/a.html", "nested anchor words") in edges  # doc-relative
+    assert all(d.startswith("http") for d, _ in edges)  # mailto/js/none gone
+    assert len(edges) == 3
+
+
+def test_html_links_feed_pagerank(spark):
+    """The extracted edge table drives the webgraph family end-to-end
+    (real edges, not the synthetic generator)."""
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import html_links
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import pagerank_fixedpoint
+    from pyspark.sql import functions as F2
+
+    rows = []
+    for i in range(8):
+        hrefs = "".join(f'<a href="https://h{(i + k) % 8}.example/">l</a>' for k in (1, 3))
+        rows.append((f"https://h{i}.example/", bytearray(f"<body>{hrefs}</body>".encode())))
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    edges = (
+        html_links(pages)
+        .select(
+            F2.regexp_extract("src", r"h(\d+)", 1).cast("long").alias("src"),
+            F2.regexp_extract("dst", r"h(\d+)", 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    assert edges.count() == 16
+    pr = pagerank_fixedpoint(edges, iterations=2)
+    assert pr.count() == 8
+    # regular graph (every node degree 2/2): identical rank everywhere
+    assert pr.select("rank").distinct().count() == 1
+
+
+def test_parser_fuzz_never_raises(spark):
+    """Random byte soup through every parser entry point: no exception,
+    deterministic output, and the Spark pass stays partitioning-
+    invariant on garbage."""
+    import random
+
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import (
+        html_links,
+        parse_blocks,
+        parse_links,
+    )
+
+    rng = random.Random(31337)
+    frag = [
+        b"<", b">", b"</", b"<a", b"<a href=", b'"', b"'", b"&", b"&amp;", b"&#x", b"<!--",
+        b"-->", b"<script>", b"</script>", b"<p>", b"</p>", b"<![CDATA[", b"]]>", b"<?php",
+        b"word ", b"\xff\xfe", b"\xc3", b"\xe2\x82", b"\x00", b"<a href='h", b"ttp://x'>",
+    ]
+    cases = [b"".join(rng.choice(frag) for _ in range(rng.randint(0, 60))) for _ in range(300)]
+    for c in cases:
+        a, b = parse_blocks(c), parse_links(c)
+        assert a == parse_blocks(c) and b == parse_links(c)  # deterministic
+    pages = spark.createDataFrame(
+        [(f"https://f{i}.example/", bytearray(c)) for i, c in enumerate(cases)],
+        "url string, html binary",
+    )
+    got = sorted(tuple(r) for r in html_links(pages).collect())
+    again = sorted(tuple(r) for r in html_links(pages.repartition(7)).collect())
+    assert got == again
