@@ -411,6 +411,20 @@ def q_web_link_graph(spark, sf_dir):
     return html_links(synthetic_html_pages(_t(spark, sf_dir, "documents")))
 
 
+def q_anchor_text_stats(spark, sf_dir):
+    """Per-target anchor-text profile over the extracted link graph
+    (counts exact; top-k deterministic via count-then-lexicographic
+    ties)."""
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import (
+        anchor_text_stats,
+        html_links,
+        synthetic_html_pages,
+    )
+
+    edges = html_links(synthetic_html_pages(_t(spark, sf_dir, "documents")))
+    return anchor_text_stats(edges, k_anchors=5)
+
+
 def q_triple_provenance(spark, sf_dir):
     """Distinct-fact materialization with evidence: support count,
     exact distinct-source count, K-sliced source sample — a two-level
@@ -1249,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": q_substring_spans,
         "triple_provenance": q_triple_provenance,
         "web_link_graph": q_web_link_graph,
+        "anchor_text_stats": q_anchor_text_stats,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,
@@ -2703,6 +2718,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src, COALESCE(dst, src) AS dst, anchor
             FROM base CROSS JOIN l
+        """,
+        "anchor_text_stats": """
+            WITH base AS (
+              SELECT 'https://synth.example/' || CAST(doc_id AS VARCHAR) AS src
+              FROM documents
+            ),
+            l(dst, anchor) AS (
+              VALUES ('https://synth.example/', 'Home'),
+                     ('https://synth.example/a', 'News'),
+                     ('https://synth.example/b', 'Shop'),
+                     ('https://synth.example/c', 'Contact us'),
+                     (NULL, 'cookies'),
+                     ('https://synth.example/tos', 'Terms'),
+                     ('https://synth.example/privacy', 'Privacy')
+            ),
+            edges AS (SELECT src, COALESCE(dst, src) AS dst, anchor FROM base CROSS JOIN l),
+            counts AS (SELECT dst, anchor, COUNT(*) AS cnt FROM edges GROUP BY dst, anchor),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) AS rk
+              FROM counts
+            ),
+            stats AS (
+              SELECT dst, CAST(SUM(cnt) AS BIGINT) AS n_links, COUNT(*) AS n_anchors
+              FROM counts GROUP BY dst
+            ),
+            top AS (
+              SELECT dst, string_agg(anchor, ',' ORDER BY rk) AS top_anchors
+              FROM ranked WHERE rk <= 5 GROUP BY dst
+            )
+            SELECT dst, n_links, n_anchors, top_anchors FROM stats JOIN top USING (dst)
         """,
         "triple_provenance": """
             WITH s AS (

@@ -321,6 +321,37 @@ def html_links(pages: DataFrame, url_col: str = "url", html_col: str = "html") -
     return pages.select(url_col, html_col).mapInPandas(fn, EDGES_SCHEMA)
 
 
+def anchor_text_stats(edges: DataFrame, k_anchors: int = 5) -> DataFrame:
+    """Edge table -> per-target anchor-text profile: (dst, n_links,
+    n_anchors, top_anchors) — the classic anchor-pretraining /
+    retrieval signal (what the web calls this page). Two hash
+    aggregations + a per-DST window for the top-k (ties broken
+    lexicographically, so output is deterministic); the window sorts
+    one target's distinct anchors, bounded by anchor vocabulary per
+    page, never corpus size."""
+    from pyspark.sql import Window
+
+    counts = edges.groupBy("dst", "anchor").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("anchor"))
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    top = (
+        ranked.filter(F.col("rk") <= k_anchors)
+        .groupBy("dst")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "anchor"))), lambda s: s["anchor"]
+                ),
+            ).alias("top_anchors")
+        )
+    )
+    stats = counts.groupBy("dst").agg(
+        F.sum("cnt").alias("n_links"), F.count("*").alias("n_anchors")
+    )
+    return stats.join(top, on="dst")
+
+
 def fill_text_from_html(
     pages: DataFrame,
     min_words: int = 5,

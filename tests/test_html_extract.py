@@ -217,3 +217,19 @@ def test_parser_fuzz_never_raises(spark):
     got = sorted(tuple(r) for r in html_links(pages).collect())
     again = sorted(tuple(r) for r in html_links(pages.repartition(7)).collect())
     assert got == again
+
+
+def test_anchor_text_stats(spark):
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import anchor_text_stats
+
+    edges = spark.createDataFrame(
+        [("s1", "d1", "click"), ("s2", "d1", "spec"), ("s3", "d1", "spec"),
+         ("s4", "d1", "a"), ("s5", "d2", "x")],
+        "src string, dst string, anchor string",
+    )
+    got = {r["dst"]: r for r in anchor_text_stats(edges, k_anchors=2).collect()}
+    assert (got["d1"]["n_links"], got["d1"]["n_anchors"]) == (4, 3)
+    assert got["d1"]["top_anchors"] == "spec,a"  # count desc, then lexicographic
+    assert (got["d2"]["n_links"], got["d2"]["top_anchors"]) == (1, "x")
+    again = {r["dst"]: tuple(r) for r in anchor_text_stats(edges.repartition(5), k_anchors=2).collect()}
+    assert again == {k: tuple(v) for k, v in got.items()}
