@@ -110,6 +110,13 @@ def main() -> None:
         "--paragraph-dedup, which dedups across the whole corpus",
     )
     ap.add_argument(
+        "--link-graph",
+        action="store_true",
+        help="also materialize the hyperlink graph (src, dst, anchor) "
+        "extracted from the RAW ingested pages' html as a 'link_graph' "
+        "stage (resumable like every other stage)",
+    )
+    ap.add_argument(
         "--substring-dedup",
         type=int,
         nargs="?",
@@ -180,6 +187,17 @@ def main() -> None:
         pages = read_warc(spark, args.pages)
     else:
         pages = spark.read.parquet(args.pages)
+
+    if args.link_graph:
+        # from the RAW ingested pages: curation may rewrite text, but
+        # the link graph is a property of the crawl itself
+        from coap_rfc_knowledge_graph_spark.operators.html_extract import html_links
+        from coap_rfc_knowledge_graph_spark.plans.checkpointing import StageStore
+
+        lg_store = StageStore(args.out)
+        lg_params = {"link_graph": True, "from_warc": bool(args.from_warc)}
+        if not lg_store.has("link_graph", params=lg_params):
+            lg_store.write(html_links(pages), "link_graph", inputs=["pages"], params=lg_params)
 
     def apply_prepasses(pages):
         return _apply_prepasses(spark, pages, args, F)
@@ -265,7 +283,9 @@ def main() -> None:
                 apply_prepasses(pages), "curated_pages", inputs=["pages"], params=prepass_params
             )
     store = run_resumable(spark, pages, args.out, url_partitions=args.url_partitions)
-    report = (["curated_pages"] if prepass_active else []) + [
+    report = (["link_graph"] if args.link_graph else []) + (
+        ["curated_pages"] if prepass_active else []
+    ) + [
         "sentences", "mentions", "triples", "entities", "rules", "edges", "contradictions",
     ]
     for stage in report:

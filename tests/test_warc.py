@@ -192,7 +192,7 @@ def test_warc_to_kg_end_to_end(spark, tmp_path):
         sys.argv = [
             "run_pipeline.py", "--pages", str(d), "--out", out,
             "--from-warc", "--html-extract", "--normalize-unicode", "NFC",
-            "--url-partitions", "4",
+            "--link-graph", "--url-partitions", "4",
         ]
         run_pipeline.main()
     finally:
@@ -205,6 +205,10 @@ def test_warc_to_kg_end_to_end(spark, tmp_path):
     assert curated.filter(F.col("text").contains("Home")).count() == 0  # nav stripped
     for stage in ("sentences", "mentions", "triples", "entities"):
         assert store.manifest(stage)["row_count"] > 0, stage
+    # the hyperlink graph was materialized from the raw crawl (each
+    # page carries the 3 nav links)
+    lg = store.read(spark, "link_graph")
+    assert lg.count() == 36 and set(lg.columns) == {"src", "dst", "anchor"}
 
 
 def test_job_html_extract_and_normalize_prepasses(spark):
