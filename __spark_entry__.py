@@ -1007,6 +1007,15 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank_fixedpoint(edges, iterations=3)
 
 
+def q_graph_hits(spark, sf_dir):
+    """Fixed-point integer HITS (2 iterations, max-normalized) over the
+    synthetic link graph — engine-exact like PageRank (unrolled CTE
+    oracle)."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import hits_fixedpoint
+
+    return hits_fixedpoint(_synth_edges(_t(spark, sf_dir, "documents")), iterations=2)
+
+
 def q_graph_degrees(spark, sf_dir):
     """Directed degree statistics with zero-fill over the node set."""
     from coap_rfc_knowledge_graph_spark.operators.webgraph import degree_stats
@@ -1278,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weburl_domain_filter": q_weburl_domain_filter,
         "weburl_registered_domain": q_weburl_registered_domain,
         "graph_pagerank": q_graph_pagerank,
+        "graph_hits": q_graph_hits,
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
         "graph_two_hop": q_graph_two_hop,
@@ -1466,6 +1476,42 @@ def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000) -> str:
     return (
         "WITH " + _EDGES_CTE + ",\n" + ",\n".join(layers)
         + f"\nSELECT node, rank FROM r{iterations}"
+    )
+
+
+def _hits_sql(iterations: int = 2, scale: int = 1_000_000) -> str:
+    """Unrolled fixed-point HITS oracle: one (araw, auth, hraw, hub)
+    CTE layer per iteration mirroring ``webgraph.hits_fixedpoint`` —
+    max-normalization via a scalar subquery, BIGINT floor division."""
+    layers = [f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes)"]
+    for i in range(1, iterations + 1):
+        layers.append(
+            f"""araw{i} AS (
+              SELECT e.dst AS node, SUM(h.hub) AS raw
+              FROM edges e JOIN h{i-1} h ON h.node = e.src GROUP BY e.dst
+            ),
+            a{i} AS (
+              SELECT node, CAST(raw * {scale} AS BIGINT)
+                       // (SELECT MAX(raw) FROM araw{i}) AS auth
+              FROM araw{i}
+            ),
+            hraw{i} AS (
+              SELECT e.src AS node, SUM(a.auth) AS raw
+              FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+            ),
+            h{i} AS (
+              SELECT node, CAST(raw * {scale} AS BIGINT)
+                       // (SELECT MAX(raw) FROM hraw{i}) AS hub
+              FROM hraw{i}
+            )"""
+        )
+    return (
+        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(layers)
+        + f"""
+        SELECT n.node, CAST(COALESCE(a.auth, 0) AS BIGINT) AS auth,
+               CAST(COALESCE(h.hub, 0) AS BIGINT) AS hub
+        FROM nodes n LEFT JOIN a{iterations} a ON a.node = n.node
+                     LEFT JOIN h{iterations} h ON h.node = n.node"""
     )
 
 
@@ -1943,6 +1989,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE host NOT IN (SELECT host FROM over_cap)
         """,
         "graph_pagerank": _pagerank_sql(iterations=3),
+        "graph_hits": _hits_sql(iterations=2),
         "graph_degrees": f"""
             WITH {_EDGES_CTE},
             ind AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_degree

@@ -152,6 +152,57 @@ def pagerank_fixedpoint(
     return ranks
 
 
+def hits_fixedpoint(edges: DataFrame, iterations: int = 2, scale: int = SCALE) -> DataFrame:
+    """Fixed-point integer HITS: (node, auth, hub) after ``iterations``
+    rounds, each value normalized so the per-step maximum equals
+    ``scale`` (max-normalization keeps everything in BIGINT — the L2
+    norm of the textbook formulation needs sqrt and can never be
+    engine-exact).
+
+        hub_0        = scale everywhere
+        auth_i(v)    = (sum over in-edges of hub_{i-1}(u)) * scale
+                       div max-over-v(that sum)
+        hub_i(u)     = (sum over out-edges of auth_i(v)) * scale
+                       div max-over-u(that sum)
+
+    The normalizer is a one-row aggregate broadcast back (crossJoin of
+    a 1-row frame — no driver action, no collect). Bound: the raw sum
+    times scale must stay under 2^63, i.e. max weighted degree below
+    ~9.2e12/scale; pass a smaller scale for hub-ier graphs. Exact under
+    any partitioning — the DuckDB oracle unrolls the same chain."""
+    nodes = graph_nodes(edges)
+    hubs = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            edges.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("raw"))
+        )
+        am = araw.agg(F.max("raw").alias("m"))
+        auth = araw.crossJoin(F.broadcast(am)).select(
+            "node", F.expr(f"(raw * {scale}) div m").alias("auth")
+        )
+        hraw = (
+            edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("raw"))
+        )
+        hm = hraw.agg(F.max("raw").alias("m"))
+        hubs = hraw.crossJoin(F.broadcast(hm)).select(
+            "node", F.expr(f"(raw * {scale}) div m").alias("hub")
+        )
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hubs, "node", "left")
+        .select(
+            "node",
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+        )
+    )
+
+
 def undirected_edges(edges: DataFrame) -> DataFrame:
     """Canonical undirected edge set: (a, b) with a < b, self-loops
     dropped, duplicates collapsed."""

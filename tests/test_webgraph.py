@@ -120,3 +120,23 @@ def test_graph_family_over_real_kg_triples(spark):
     top_in = degs.orderBy("in_degree", ascending=False).first().node
     top_rank = {r.node: r.rank for r in ranks}[top_in]
     assert top_rank > med  # the most-linked entity out-ranks the median
+
+
+def test_hits_fixedpoint_semantics_and_invariance(spark):
+    """Tiny hub/authority graph: h0,h1 both point at a0 (authority),
+    h0 also at a1. After one round a0 must out-rank a1, h0 out-rank h1,
+    maxima normalize to SCALE; partitioning-invariant."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import hits_fixedpoint
+
+    edges = spark.createDataFrame(
+        [(0, 10), (1, 10), (0, 11)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in hits_fixedpoint(edges, iterations=2).collect()}
+    assert out[10]["auth"] == 1_000_000 and out[11]["auth"] < 1_000_000
+    assert out[0]["hub"] == 1_000_000 and out[1]["hub"] < out[0]["hub"]
+    assert out[10]["hub"] == 0 and out[0]["auth"] == 0  # pure roles
+    again = {
+        r["node"]: tuple(r)
+        for r in hits_fixedpoint(edges.repartition(5), iterations=2).collect()
+    }
+    assert again == {k: tuple(v) for k, v in out.items()}
