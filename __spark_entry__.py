@@ -388,6 +388,15 @@ def q_kg_negative_samples(spark, sf_dir):
     return negative_samples(_synth_triples(_t(spark, sf_dir, "documents")), k=2)
 
 
+def q_kg_negative_samples_typed(spark, sf_dir):
+    """Type-constrained (Bernoulli-style) corruption: replacements come
+    from the predicate's observed domain/range via per-pred dense-rank
+    equi-joins."""
+    from coap_rfc_knowledge_graph_spark.operators.kg_embed import negative_samples_typed
+
+    return negative_samples_typed(_synth_triples(_t(spark, sf_dir, "documents")), k=2)
+
+
 def q_entity_cooccurrence(spark, sf_dir):
     """Exact fixed-point PMI-style association between entity pairs
     (three hash aggregations + two key joins; binary64 arithmetic is
@@ -1268,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": q_html_main_content,
         "unicode_normalize": q_unicode_normalize,
         "kg_negative_samples": q_kg_negative_samples,
+        "kg_negative_samples_typed": q_kg_negative_samples_typed,
         "entity_cooccurrence": q_entity_cooccurrence,
         "substring_spans": q_substring_spans,
         "triple_provenance": q_triple_provenance,
@@ -2737,6 +2747,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN corrupt_side = 0 THEN e.entity_id = subj_id
                              ELSE e.entity_id = obj_id END AS INT) AS collides
             FROM drawn JOIN ents e ON e.rank = drawn.repl_rank
+        """,
+        "kg_negative_samples_typed": _TRIPLES_CTE + """,
+            preds AS (
+              SELECT pred, row_number() OVER (ORDER BY pred) - 1 AS pred_code
+              FROM (SELECT DISTINCT pred FROM t)
+            ),
+            dom AS (
+              SELECT pred, entity_id,
+                     row_number() OVER (PARTITION BY pred ORDER BY entity_id) - 1 AS repl_rank
+              FROM (SELECT DISTINCT pred, subj_id AS entity_id FROM t)
+            ),
+            rng AS (
+              SELECT pred, entity_id,
+                     row_number() OVER (PARTITION BY pred ORDER BY entity_id) - 1 AS repl_rank
+              FROM (SELECT DISTINCT pred, obj_id AS entity_id FROM t)
+            ),
+            dn AS (SELECT pred, COUNT(*) AS n_dom FROM dom GROUP BY pred),
+            rn AS (SELECT pred, COUNT(*) AS n_rng FROM rng GROUP BY pred),
+            base AS (
+              SELECT t.subj_id, t.pred, t.obj_id, p.pred_code, dn.n_dom, rn.n_rng,
+                     CAST(j.range AS BIGINT) AS neg_idx
+              FROM t JOIN preds p USING (pred) JOIN dn USING (pred) JOIN rn USING (pred)
+              CROSS JOIN range(2) j
+            ),
+            drawn AS (
+              SELECT *,
+                CAST((((subj_id % 1048576) * 1048573 + (obj_id % 1048576) * 8191
+                       + pred_code * 127 + neg_idx * 257 + 21) * 48271)
+                     % 2147483647 % 2 AS INT) AS corrupt_side,
+                (((subj_id % 1048576) * 524287 + (obj_id % 1048576) * 131071
+                  + pred_code * 8191 + neg_idx * 257 + 29) * 48271)
+                  % 2147483647 AS h2
+              FROM base
+            ),
+            j0 AS (
+              SELECT d.subj_id, d.pred, d.obj_id, d.neg_idx, d.corrupt_side, e.entity_id
+              FROM drawn d JOIN dom e
+                ON e.pred = d.pred AND e.repl_rank = d.h2 % d.n_dom
+              WHERE d.corrupt_side = 0
+            ),
+            j1 AS (
+              SELECT d.subj_id, d.pred, d.obj_id, d.neg_idx, d.corrupt_side, e.entity_id
+              FROM drawn d JOIN rng e
+                ON e.pred = d.pred AND e.repl_rank = d.h2 % d.n_rng
+              WHERE d.corrupt_side = 1
+            ),
+            u AS (SELECT * FROM j0 UNION ALL SELECT * FROM j1)
+            SELECT subj_id, pred, obj_id, neg_idx, corrupt_side,
+                   CASE WHEN corrupt_side = 0 THEN entity_id ELSE subj_id END AS neg_subj_id,
+                   CASE WHEN corrupt_side = 1 THEN entity_id ELSE obj_id END AS neg_obj_id,
+                   CAST(CASE WHEN corrupt_side = 0 THEN entity_id = subj_id
+                             ELSE entity_id = obj_id END AS INT) AS collides
+            FROM u
         """,
         "entity_cooccurrence": _TRIPLES_CTE + """,
             pair AS (SELECT subj_id, obj_id, COUNT(*) AS n_pair FROM t GROUP BY 1, 2),

@@ -120,6 +120,94 @@ def negative_samples(
     )
 
 
+def negative_samples_typed(
+    triples: DataFrame,
+    k: int = 2,
+    subj_col: str = "subj_id",
+    pred_col: str = "pred",
+    obj_col: str = "obj_id",
+) -> DataFrame:
+    """Type-constrained corruption (the Bernoulli-TransE refinement):
+    a corrupted subject is drawn from the predicate's observed DOMAIN
+    (entities seen as subjects of that predicate) and a corrupted
+    object from its RANGE — unconstrained corruption mostly produces
+    trivially-false triples ("port_number, transports, coap") that
+    teach the embedding nothing about the relation's type structure.
+
+    Plan shape: per-predicate dense ranks via row_number over a
+    (pred)-partitioned window — parallel across predicates; one
+    predicate's domain sorts in one task chain, so an extremely skewed
+    predicate bounds the stage (acceptable: domain size <= entity
+    count, and the sort is on a projected (pred, entity) pair, not
+    corpus text). Replacement is an equi-join on (pred, rank);
+    per-pred counts ride a broadcast. Draws are the same independent
+    congruential pair as :func:`negative_samples` with distinct
+    offsets, mirrored in the DuckDB oracle."""
+    from pyspark.sql import Window
+
+    subj, obj = F.col(subj_col).cast("long"), F.col(obj_col).cast("long")
+    t = triples.select(
+        subj.alias("subj_id"), F.col(pred_col).alias("pred"), obj.alias("obj_id")
+    ).localCheckpoint(eager=False)
+
+    preds = zip_with_rank(t.select("pred").distinct(), ["pred"], idx_col="pred_code")
+
+    def ranked_side(col: str, side: str) -> DataFrame:
+        w = Window.partitionBy("pred").orderBy("entity_id")
+        return (
+            t.select("pred", F.col(col).alias("entity_id"))
+            .distinct()
+            .withColumn(f"{side}_rank", F.row_number().over(w) - 1)
+        )
+
+    dom = ranked_side("subj_id", "dom")
+    rng = ranked_side("obj_id", "rng")
+    dom_n = dom.groupBy("pred").agg(F.count("*").alias("n_dom"))
+    rng_n = rng.groupBy("pred").agg(F.count("*").alias("n_rng"))
+
+    base = (
+        t.join(F.broadcast(preds), on="pred")
+        .join(F.broadcast(dom_n), on="pred")
+        .join(F.broadcast(rng_n), on="pred")
+        .withColumn("neg_idx", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .withColumn("neg_idx", F.col("neg_idx").cast("long"))
+    )
+    s, o, p, j = F.col("subj_id"), F.col("obj_id"), F.col("pred_code"), F.col("neg_idx")
+    drawn = base.withColumn(
+        "corrupt_side", F.pmod(_key(s, p, o, j, 1048573, 8191, 127, 21), F.lit(2)).cast("int")
+    ).withColumn(
+        "repl_rank",
+        F.when(
+            F.col("corrupt_side") == 0,
+            F.pmod(_key(s, p, o, j, 524287, 131071, 8191, 29), F.col("n_dom")),
+        ).otherwise(F.pmod(_key(s, p, o, j, 524287, 131071, 8191, 29), F.col("n_rng"))),
+    )
+    with_dom = drawn.filter(F.col("corrupt_side") == 0).join(
+        dom.withColumnRenamed("dom_rank", "repl_rank"), on=["pred", "repl_rank"]
+    )
+    with_rng = drawn.filter(F.col("corrupt_side") == 1).join(
+        rng.withColumnRenamed("rng_rank", "repl_rank"), on=["pred", "repl_rank"]
+    )
+    joined = with_dom.unionByName(with_rng)
+    neg_subj = F.when(F.col("corrupt_side") == 0, F.col("entity_id")).otherwise(F.col("subj_id"))
+    neg_obj = F.when(F.col("corrupt_side") == 1, F.col("entity_id")).otherwise(F.col("obj_id"))
+    return joined.select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        "neg_idx",
+        "corrupt_side",
+        neg_subj.alias("neg_subj_id"),
+        neg_obj.alias("neg_obj_id"),
+        (
+            (F.col("corrupt_side") == 0) & (neg_subj == F.col("subj_id"))
+            | (F.col("corrupt_side") == 1) & (neg_obj == F.col("obj_id"))
+        )
+        .cast("int")
+        .alias("collides"),
+    )
+
+
 def cooccurrence_strength(
     triples: DataFrame,
     scale: int = 1_000_000,

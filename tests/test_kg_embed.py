@@ -109,3 +109,36 @@ def test_driver_oracles_match_duckdb(spark):
         assert sorted(pdf.columns.tolist()) == cols
         want = sorted(tuple(row[c] for c in cols) for _, row in pdf.iterrows())
         assert got == want, name
+
+
+def test_negative_samples_typed_respects_domain_range(spark):
+    """Predicates with DISJOINT entity vocabularies: every corrupted
+    subject must come from that pred's observed subjects, every
+    corrupted object from its observed objects — never from another
+    predicate's world; partitioning-invariant."""
+    from coap_rfc_knowledge_graph_spark.operators.kg_embed import negative_samples_typed
+
+    rows = []
+    for i in range(40):  # pred pA: entities 0-19; pred pB: entities 100-119
+        rows.append((i % 20, "pA", (i * 7 + 3) % 20))
+        rows.append((100 + i % 20, "pB", 100 + (i * 11 + 5) % 20))
+    t = spark.createDataFrame(rows, "subj_id long, pred string, obj_id long").filter(
+        "subj_id <> obj_id"
+    ).distinct()
+    doms = {
+        "pA": {r["subj_id"] for r in t.filter("pred = 'pA'").select("subj_id").collect()},
+        "pB": {r["subj_id"] for r in t.filter("pred = 'pB'").select("subj_id").collect()},
+    }
+    rngs = {
+        "pA": {r["obj_id"] for r in t.filter("pred = 'pA'").select("obj_id").collect()},
+        "pB": {r["obj_id"] for r in t.filter("pred = 'pB'").select("obj_id").collect()},
+    }
+    out = negative_samples_typed(t, k=3).collect()
+    assert len(out) == 3 * t.count()
+    for r in out:
+        if r["corrupt_side"] == 0:
+            assert r["neg_subj_id"] in doms[r["pred"]], r
+        else:
+            assert r["neg_obj_id"] in rngs[r["pred"]], r
+    again = sorted(tuple(x) for x in negative_samples_typed(t.repartition(7), k=3).collect())
+    assert again == sorted(tuple(x) for x in out)
