@@ -29,12 +29,16 @@ Scale shape (10^12 rows):
 - the centroid update is one posexplode + (cluster, dim) hash aggregate
   (map-side partial combine; k*dim result rows collected to the driver,
   which is what makes the loop cheap);
-- within-cluster pairing shuffles on the cluster id only; cluster-size
-  skew is the operator's knob (k scales with corpus size; SemDeDup used
-  50k clusters for LAION — one cluster never holds more than corpus/k
-  on average, and a hot cluster is capped by ``max_cluster_pairs``
-  sampling in a production run — here the O(|C|^2) inside a cluster is
-  explicit and documented).
+- within-cluster pairing shuffles on the cluster id only; the exact
+  all-pairs compare runs ONLY for clusters at or under
+  ``max_cluster_rows`` — any oversized cluster (mis-parameterized k, or
+  a pathological corpus where every embedding points the same way)
+  falls back to hyperplane-LSH candidate generation WITHIN the cluster,
+  so no single join key ever owes O(|C|^2) work. Parameterization rule
+  (SemDeDup, Abbas et al. 2023 §3): pick k ≈ N / target_cluster_rows —
+  they ran k = 50k over LAION so clusters stay in the tens-of-thousands;
+  the guard makes a wrong k degrade recall marginally (LSH miss prob
+  ~1e-11 at threshold 0.9 with 32x4 bands) instead of hanging a task.
 """
 
 from __future__ import annotations
@@ -148,6 +152,11 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = VEC_SCALE,
+    max_cluster_rows: int | None = 10_000,
+    lsh_bands: int = 32,
+    lsh_rows_per_band: int = 4,
+    lsh_seed: int = 7,
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup: within each k-means cluster, mark rows whose quantized
     dot product with a LOWER-id cluster member reaches the threshold
@@ -158,21 +167,68 @@ def semantic_dedup(
     uses.
 
     The pair join is an equi-join on the cluster id; nothing crosses
-    clusters. The cosine re-check is native zip_with/aggregate codegen."""
-    both = kmeans_quantized(emb, k, iterations, id_col, vec_col, scale, keep_vec=True).select(
-        F.col(id_col).alias("id"), "cluster", "xq"
+    clusters. The cosine re-check is native zip_with/aggregate codegen.
+
+    Cluster-size guard: a within-cluster all-pairs join is quadratic in
+    cluster size AND lands one cluster on one join key (= one task), so
+    clusters above ``max_cluster_rows`` never take that path — their
+    candidate pairs come from hyperplane-LSH buckets *within* the
+    cluster (join key (cluster, band, sig); the exact integer-dot
+    verdict is unchanged, only candidate recall differs: miss prob per
+    true pair = (1 - p^r)^b ≈ 1.6e-11 at cosine 0.9 with the 32x4
+    default). Parameterize k ≈ N / target_cluster_rows (SemDeDup used
+    k = 50k for LAION); the guard turns a wrong k into a bounded,
+    slightly-approximate run instead of a single-task O(|C|^2) hang.
+    ``max_cluster_rows=None`` disables the guard (exact everywhere —
+    the verification-corpus shape). ``dim`` is the embedding width used
+    for the LSH planes on the fallback path."""
+    both = (
+        kmeans_quantized(emb, k, iterations, id_col, vec_col, scale, keep_vec=True)
+        .select(F.col(id_col).alias("id"), "cluster", "xq")
+        # three consumers (size census, pair generation, keep join-back):
+        # evaluate the k-means assignment once
+        .localCheckpoint(eager=False)
     )
-    a = both.select(F.col("id").alias("ia"), "cluster", F.col("xq").alias("va"))
-    b = both.select(F.col("id").alias("ib"), "cluster", F.col("xq").alias("vb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    if max_cluster_rows is None:
+        a = both.select(F.col("id").alias("ia"), "cluster", F.col("xq").alias("va"))
+        b = both.select(F.col("id").alias("ib"), "cluster", F.col("xq").alias("vb"))
+        cand = a.join(b, "cluster").filter(F.col("ia") < F.col("ib")).select("ia", "ib", "va", "vb")
+    else:
+        sizes = both.groupBy("cluster").agg(F.count(F.lit(1)).alias("__csize"))
+        flagged = both.join(F.broadcast(sizes), "cluster")  # k rows — always broadcastable
+        small = flagged.filter(F.col("__csize") <= max_cluster_rows)
+        a = small.select(F.col("id").alias("ia"), "cluster", F.col("xq").alias("va"))
+        b = small.select(F.col("id").alias("ib"), "cluster", F.col("xq").alias("vb"))
+        cand_small = (
+            a.join(b, "cluster").filter(F.col("ia") < F.col("ib")).select("ia", "ib", "va", "vb")
+        )
+        from .linking import with_lsh_bands
+
+        big = flagged.filter(F.col("__csize") > max_cluster_rows).select(
+            "id",
+            "cluster",
+            "xq",
+            F.transform("xq", lambda x: (x.cast("double") / scale).cast("float")).alias("vec"),
+        )
+        sig = with_lsh_bands(big, lsh_bands, lsh_rows_per_band, lsh_seed, dim=dim).select(
+            "id", "cluster", "xq", F.posexplode("sigs").alias("band", "sig")
+        )
+        ca = sig.select(F.col("id").alias("ia"), "cluster", "band", "sig", F.col("xq").alias("va"))
+        cb = sig.select(F.col("id").alias("ib"), "cluster", "band", "sig", F.col("xq").alias("vb"))
+        cand_big = (
+            ca.join(cb, ["cluster", "band", "sig"])
+            .filter(F.col("ia") < F.col("ib"))
+            .select("ia", "ib", "va", "vb")
+            .dropDuplicates(["ia", "ib"])
+        )
+        cand = cand_small.unionByName(cand_big)
     dups = (
-        a.join(b, "cluster")
-        .filter(F.col("ia") < F.col("ib"))
-        .withColumn("dot", dot)
+        cand.withColumn("dot", dot)
         .filter(F.col("dot") >= sim_threshold_micro)
         .select(F.col("ib").alias("id"))
         .distinct()

@@ -75,6 +75,8 @@ class _BlockParser(HTMLParser):
         if tag in _SKIP_TAGS:
             self._skip += 1
             return
+        if self._skip:
+            return  # an unclosed <a> in a skipped subtree must not leak a_depth
         if tag == "a":
             self._a_depth += 1
         if tag in _BLOCK_TAGS:
@@ -83,6 +85,8 @@ class _BlockParser(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
             self._skip = max(0, self._skip - 1)
+            return
+        if self._skip:
             return
         if tag == "a":
             self._a_depth = max(0, self._a_depth - 1)
@@ -247,6 +251,8 @@ class _LinkParser(HTMLParser):
         if tag in _SKIP_TAGS:
             self._skip += 1
             return
+        if self._skip:
+            return  # <a> inside a skipped subtree is not a page link
         if tag == "a":
             if self._href is not None:
                 self._close_link()
@@ -256,6 +262,8 @@ class _LinkParser(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
             self._skip = max(0, self._skip - 1)
+            return
+        if self._skip:
             return
         if tag == "a":
             self._close_link()
@@ -331,7 +339,14 @@ def anchor_text_stats(edges: DataFrame, k_anchors: int = 5) -> DataFrame:
     page, never corpus size."""
     from pyspark.sql import Window
 
-    counts = edges.groupBy("dst", "anchor").agg(F.count("*").alias("cnt"))
+    # counts has two consumers (top-k window + stats agg); truncate
+    # lineage so the upstream edge derivation — e.g. a per-page HTML
+    # parse when fed by html_links — evaluates once, not twice.
+    counts = (
+        edges.groupBy("dst", "anchor")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("anchor"))
     ranked = counts.withColumn("rk", F.row_number().over(w))
     top = (

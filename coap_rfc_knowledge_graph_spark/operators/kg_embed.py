@@ -70,17 +70,21 @@ def negative_samples(
     neg_obj_id, collides). ``corrupt_side`` 0 = subject replaced,
     1 = object replaced; the untouched side passes through."""
     subj, obj = F.col(subj_col).cast("long"), F.col(obj_col).cast("long")
+    # three consumers of the triples projection (pred vocab, entity
+    # union, base fan-out) — truncate lineage so an expensive upstream
+    # (the full extraction pipeline, typically) evaluates once
+    t = triples.select(
+        subj.alias("subj_id"), F.col(pred_col).alias("pred"), obj.alias("obj_id")
+    ).localCheckpoint(eager=False)
 
     # pred vocabulary code: tiny distinct set, distributed rank (the
     # draw needs an integer, and engine-specific string hashes would
     # break the oracle)
-    preds = zip_with_rank(
-        triples.select(F.col(pred_col).alias("pred")).distinct(), ["pred"], idx_col="pred_code"
-    )
+    preds = zip_with_rank(t.select("pred").distinct(), ["pred"], idx_col="pred_code")
     # dense 0-based entity rank over the union of both sides
     entities = zip_with_rank(
-        triples.select(subj.alias("entity_id"))
-        .union(triples.select(obj.alias("entity_id")))
+        t.select(F.col("subj_id").alias("entity_id"))
+        .union(t.select(F.col("obj_id").alias("entity_id")))
         .distinct(),
         ["entity_id"],
         idx_col="rank",
@@ -88,8 +92,7 @@ def negative_samples(
     n = entities.count()
 
     base = (
-        triples.select(subj.alias("subj_id"), F.col(pred_col).alias("pred"), obj.alias("obj_id"))
-        .join(F.broadcast(preds), on="pred")
+        t.join(F.broadcast(preds), on="pred")
         .withColumn("neg_idx", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
         .withColumn("neg_idx", F.col("neg_idx").cast("long"))
     )

@@ -152,7 +152,9 @@ def remove_duplicate_spans(
 ) -> DataFrame:
     """docs -> (doc_id, text_kept, n_tokens, n_removed): every
     corpus-duplicated run of >= min_span tokens excised; untouched
-    docs pass through whole.
+    docs pass through BYTE-identical (original whitespace/newlines
+    preserved — only docs that actually lose a span get rewritten in
+    single-space token-joined form, since excision is token-level).
 
     ``docs`` is consumed twice (span derivation + rewrite join-back);
     callers passing a COMPUTED plan rather than a table scan should
@@ -170,19 +172,24 @@ def remove_duplicate_spans(
         )
     )
     toks = _tokens(text_col)
-    joined = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks")).join(
-        spans, on="doc_id", how="left"
-    )
+    joined = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        toks.alias("__toks"),
+    ).join(spans, on="doc_id", how="left")
     pos_kept = F.filter(
         F.transform(F.col("__toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
         lambda x: ~F.exists(F.col("spans"), lambda sp: (x["i"] >= sp["s"]) & (x["i"] < sp["e"])),
     )
-    kept = F.when(F.col("spans").isNull(), F.col("__toks")).otherwise(
-        F.transform(pos_kept, lambda x: x["t"])
-    )
+    kept = F.transform(pos_kept, lambda x: x["t"])
+    n_kept = F.when(F.col("spans").isNull(), F.size("__toks")).otherwise(F.size(kept))
     return joined.select(
         "doc_id",
-        F.array_join(kept, " ").alias("text_kept"),
+        # untouched docs keep their original bytes; only rewritten ones
+        # collapse to the token-joined form
+        F.when(F.col("spans").isNull(), F.col("__text"))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text_kept"),
         F.size("__toks").cast("long").alias("n_tokens"),
-        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+        (F.size("__toks") - n_kept).cast("long").alias("n_removed"),
     )

@@ -152,7 +152,12 @@ def pagerank_fixedpoint(
     return ranks
 
 
-def hits_fixedpoint(edges: DataFrame, iterations: int = 2, scale: int = SCALE) -> DataFrame:
+def hits_fixedpoint(
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = SCALE,
+    checkpoint_every: int = 4,
+) -> DataFrame:
     """Fixed-point integer HITS: (node, auth, hub) after ``iterations``
     rounds, each value normalized so the per-step maximum equals
     ``scale`` (max-normalization keeps everything in BIGINT — the L2
@@ -169,11 +174,21 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 2, scale: int = SCALE) -
     a 1-row frame — no driver action, no collect). Bound: the raw sum
     times scale must stay under 2^63, i.e. max weighted degree below
     ~9.2e12/scale; pass a smaller scale for hub-ier graphs. Exact under
-    any partitioning — the DuckDB oracle unrolls the same chain."""
+    any partitioning — the DuckDB oracle unrolls the same chain.
+
+    Each round adds two joins + two broadcast normalizations to the
+    plan, so (like ``pagerank_fixedpoint``) lineage is truncated every
+    ``checkpoint_every`` rounds — without it a 20-iteration run hands
+    Catalyst an exponentially deep plan."""
+    if iterations < 1:
+        raise ValueError(
+            f"hits_fixedpoint needs iterations >= 1 (got {iterations}): the "
+            "two-phase auth/hub update defines no round-0 auth score"
+        )
     nodes = graph_nodes(edges)
     hubs = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
     auth = None
-    for _ in range(iterations):
+    for i in range(iterations):
         araw = (
             edges.join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -192,6 +207,9 @@ def hits_fixedpoint(edges: DataFrame, iterations: int = 2, scale: int = SCALE) -
         hubs = hraw.crossJoin(F.broadcast(hm)).select(
             "node", F.expr(f"(raw * {scale}) div m").alias("hub")
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            auth = auth.localCheckpoint(eager=False)
+            hubs = hubs.localCheckpoint(eager=False)
     return (
         nodes.join(auth, "node", "left")
         .join(hubs, "node", "left")

@@ -132,7 +132,16 @@ def parse_warc(data: bytes) -> list[tuple[str, datetime | None, bytes]]:
             try:
                 ts = datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ").replace(tzinfo=timezone.utc)
             except ValueError:
-                ts = None
+                # WARC 1.1 permits fractional seconds (and any ISO-8601
+                # offset); don't silently drop the timestamp for those.
+                try:
+                    ts = datetime.fromisoformat(raw_ts.replace("Z", "+00:00"))
+                    if ts.tzinfo is None:
+                        ts = ts.replace(tzinfo=timezone.utc)
+                    else:
+                        ts = ts.astimezone(timezone.utc)
+                except ValueError:
+                    ts = None
             payload = body
             if fields.get("content-type", "").lower().startswith("application/http"):
                 # strip the HTTP response head (status line + headers)

@@ -84,3 +84,61 @@ def test_semantic_dedup_never_crosses_clusters(spark):
         _emb(spark, rows, 2), k=1, iterations=1, sim_threshold_micro=990_000
     ).collect()}
     assert got[0] is True and all(got[i] is False for i in range(1, 5))
+
+
+def test_semantic_dedup_guard_bounds_oversized_cluster_pairs(spark):
+    """One-giant-cluster corpus (every vector in the same k-means
+    cluster): with the guard engaged the within-cluster all-pairs join
+    must be GONE from the plan — candidates come from (cluster, band,
+    sig) LSH buckets — while near-identical rows still dedup to the
+    keep-lowest rule and exact-path results are preserved for small
+    clusters (guard disabled == guard with a huge cap)."""
+    import math
+
+    # 120 rows, all near [1, 0, ...]: one cluster, every adjacent pair a
+    # near-dup (cosine ~ 1), so recall failures would be visible.
+    dim = 8
+    rows = []
+    for i in range(120):
+        eps = (i % 7) * 1e-4
+        v = [1.0] + [eps] * (dim - 1)
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    emb = _emb(spark, rows, dim)
+
+    guarded = semantic_dedup(
+        emb, k=1, iterations=1, sim_threshold_micro=990_000,
+        max_cluster_rows=16, dim=dim,
+    )
+    plan = guarded._jdf.queryExecution().optimizedPlan().toString()
+    # the oversized-cluster branch joins on (cluster, band, sig), never
+    # on cluster alone for the big side; the small side is empty here
+    assert "band" in plan and "sig" in plan
+    got = {r.vec_id: r.keep for r in guarded.collect()}
+    assert got[0] is True
+    assert sum(1 for v in got.values() if not v) >= 118  # all but the keeper(s)
+
+    exact = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(
+            emb, k=1, iterations=1, sim_threshold_micro=990_000,
+            max_cluster_rows=None,
+        ).collect()
+    }
+    assert got == exact  # LSH recall at cosine~1 is total here
+
+
+def test_semantic_dedup_guard_exact_below_cap(spark):
+    """Clusters at or under the cap keep byte-identical verdicts vs the
+    unguarded operator (the sf0.01 oracle corpus shape)."""
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.999, 0.001]),
+        (3, [0.0, 1.0]), (4, [0.0, 1.0]), (5, [0.7, 0.7]),
+    ]
+    kw = dict(k=2, iterations=2, sim_threshold_micro=990_000)
+    a = sorted(tuple(r) for r in semantic_dedup(_emb(spark, rows, 2), **kw).collect())
+    b = sorted(
+        tuple(r)
+        for r in semantic_dedup(_emb(spark, rows, 2), max_cluster_rows=None, **kw).collect()
+    )
+    assert a == b

@@ -233,3 +233,48 @@ def test_anchor_text_stats(spark):
     assert (got["d2"]["n_links"], got["d2"]["top_anchors"]) == (1, "x")
     again = {r["dst"]: tuple(r) for r in anchor_text_stats(edges.repartition(5), k_anchors=2).collect()}
     assert again == {k: tuple(v) for k, v in got.items()}
+
+
+def test_links_inside_skipped_subtrees_are_not_edges():
+    """<a href> under head/noscript/template/svg must not become link-
+    graph edges, and an unclosed <a> in a skipped subtree must not
+    inflate link density of following blocks (ADVICE r4)."""
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import (
+        parse_blocks,
+        parse_links,
+    )
+
+    html = (
+        "<html><head><a href='https://head.example/'>hd</a></head><body>"
+        "<noscript><a href='https://ns.example/'>ns</a></noscript>"
+        "<svg><a href='https://svg.example/'>sv</a></svg>"
+        "<p><a href='https://real.example/'>real link</a></p>"
+        "<template><a href='https://tpl.example/'>"  # unclosed <a> in skip
+        "</template>"
+        "<p>plain prose words with no anchors at all here</p>"
+        "</body></html>"
+    )
+    links = parse_links(html)
+    assert links == [("https://real.example/", "real link")]
+    blocks = parse_blocks(html)
+    prose = [b for b in blocks if b[1].startswith("plain prose")]
+    assert len(prose) == 1 and prose[0][3] == 0  # zero link words
+
+
+def test_remove_spans_preserves_untouched_doc_bytes(spark):
+    """Docs with no duplicated span keep their ORIGINAL bytes —
+    newlines and double spaces intact (ADVICE r4: the rewrite used to
+    collapse whitespace corpus-wide)."""
+    from coap_rfc_knowledge_graph_spark.operators.substring_dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = " ".join(f"d{i}" for i in range(40))
+    untouched = "line one\nline two\n\n  indented   and  spaced\n"
+    docs = spark.createDataFrame(
+        [(0, f"a0 {shared} a1"), (1, f"b0 {shared}"), (2, untouched)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, p=4, min_span=20).collect()}
+    assert out[2]["text_kept"] == untouched and out[2]["n_removed"] == 0
+    assert out[0]["n_removed"] >= 20 and "\n" not in out[0]["text_kept"]

@@ -239,3 +239,32 @@ def test_job_html_extract_and_normalize_prepasses(spark):
     assert "specialized web transfer protocol" in out["u0"]
     assert out["u1"] == "existing café text"  # untouched by extract, NFC-composed
     assert out["u2"] is None  # nothing to extract from, nulls flow
+
+
+def test_warc11_fractional_second_dates_parse():
+    """WARC 1.1 permits fractional seconds; those records must keep
+    their timestamp instead of silently getting warc_ts=NULL."""
+    body = b"<html>x</html>"
+    rec = (
+        b"WARC/1.1\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://frac.example/\r\n"
+        b"WARC-Date: 2024-03-01T12:00:00.123456Z\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(body)
+    ) + body + b"\r\n\r\n"
+    got = parse_warc(rec)
+    assert len(got) == 1
+    url, ts, payload = got[0]
+    assert ts == datetime(2024, 3, 1, 12, 0, 0, 123456, tzinfo=timezone.utc)
+    assert payload == body
+
+
+def test_warc_date_with_offset_normalizes_to_utc():
+    body = b"y"
+    rec = (
+        b"WARC/1.1\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://off.example/\r\n"
+        b"WARC-Date: 2024-03-01T14:00:00+02:00\r\n"
+        b"Content-Length: 1\r\n\r\n" + body + b"\r\n\r\n"
+    )
+    got = parse_warc(rec)
+    assert got[0][1] == datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)

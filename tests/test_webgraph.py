@@ -140,3 +140,34 @@ def test_hits_fixedpoint_semantics_and_invariance(spark):
         for r in hits_fixedpoint(edges.repartition(5), iterations=2).collect()
     }
     assert again == {k: tuple(v) for k, v in out.items()}
+
+
+def test_hits_rejects_zero_iterations_and_truncates_lineage(spark):
+    """iterations=0 is a clear ValueError (not a None-join TypeError);
+    deep runs truncate lineage every checkpoint_every rounds, so an
+    8-iteration plan stays analyzable and matches the untruncated run."""
+    import pytest as _pytest
+
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import hits_fixedpoint
+
+    edges = spark.createDataFrame(
+        [(0, 10), (1, 10), (0, 11), (10, 0), (11, 1)], "src long, dst long"
+    )
+    with _pytest.raises(ValueError, match="iterations >= 1"):
+        hits_fixedpoint(edges, iterations=0)
+    # NOTE: deliberately never build checkpoint_every=0 at 8 iterations —
+    # the crossJoin normalization references each round's sums twice, so
+    # the untruncated plan is ~4^rounds the base size (the bug this
+    # parameter exists to kill). Equality across different truncation
+    # cadences + a bounded plan suffice.
+    deep = hits_fixedpoint(edges, iterations=8, checkpoint_every=2)
+    other = hits_fixedpoint(edges, iterations=8, checkpoint_every=3)
+    assert sorted(tuple(r) for r in deep.collect()) == sorted(
+        tuple(r) for r in other.collect()
+    )
+    # lineage truncation keeps the analyzed plan bounded: only the rounds
+    # after the last checkpoint survive, not all eight
+    plan = deep._jdf.queryExecution().optimizedPlan().toString()
+    # two un-truncated rounds of the x4 doubling ≈ 68 joins; all eight
+    # would be ~4^8. Anything in the low hundreds proves truncation ran.
+    assert plan.count("Join") <= 100
