@@ -5,15 +5,17 @@ decode / feature-extract / resize / frame-sample are Arrow-batched
 pandas UDFs over ``mapInPandas``.
 
 The codec is REAL for every format decodable with the stdlib + numpy:
-PPM/PGM (P5/P6, 8- and 16-bit), BMP (uncompressed 24/32-bit), and PCM
-WAV (8/16/32-bit, any channel count) all decode to numpy arrays in
-``decode_backend``, with nearest-neighbor resize and deterministic
-content features (8x8 integer-luma thumbnail for images, windowed
-mean-|amplitude| envelope for audio) computed from the decoded pixels/
-samples. Formats that need an external codec library (JPEG/PNG/GIF/MP4
-— not present in this container) raise ``NotImplementedError`` from the
-same dispatch point; plugging PIL/torchaudio/pyav into
-``decode_backend`` extends coverage without touching any Spark plumbing.
+PNG (zlib-inflated IDAT + all five scanline filters; gray / RGB /
+palette / RGBA at bit depths 1-16, non-interlaced), PPM/PGM (P5/P6, 8-
+and 16-bit), BMP (uncompressed 24/32-bit), and PCM WAV (8/16/32-bit,
+any channel count) all decode to numpy arrays in ``decode_backend``,
+with nearest-neighbor resize and deterministic content features (8x8
+integer-luma thumbnail for images, windowed mean-|amplitude| envelope
+for audio) computed from the decoded pixels/samples. Formats that need
+an external codec library (JPEG/GIF/MP4 — not present in this
+container) raise ``NotImplementedError`` from the same dispatch point;
+plugging PIL/torchaudio/pyav into ``decode_backend`` extends coverage
+without touching any Spark plumbing.
 
 Scale notes: binary payloads dominate row size — the ops below select
 ONLY (id, payload) into the Python worker (column pruning is explicit),
@@ -27,6 +29,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -139,6 +142,183 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img[..., [2, 1, 0, 3][: bytes_pp]])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type: 0 gray, 2 RGB, 3 palette index, 4 gray+A, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering: ``raw`` is h * (1 + stride) bytes
+    of inflated IDAT (leading filter-type byte per row); returns the
+    (h, stride) byte matrix. Filters none/up/sub vectorize (sub is a
+    per-lane modular prefix sum); average/paeth need the decoded left
+    neighbour, so those rows run a per-byte loop — fine for the
+    thumbnail/feature path this backend serves."""
+    data = np.frombuffer(raw, dtype=np.uint8)
+    if data.size < h * (1 + stride):
+        raise ValueError("truncated PNG raster")
+    rows = data[: h * (1 + stride)].reshape(h, 1 + stride)
+    ftypes, rows = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = int(ftypes[y])
+        row = rows[y].astype(np.int64)
+        up = out[y - 1].astype(np.int64) if y else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # up
+            cur = row + up
+        elif ft == 1:  # sub: per-bpp-lane modular prefix sum
+            lanes = row.reshape(-1, bpp) if stride % bpp == 0 else None
+            if lanes is not None:
+                cur = (np.cumsum(lanes, axis=0) % 256).reshape(-1)
+            else:  # stride not a multiple of bpp (sub-byte depths): loop
+                cur = row.copy()
+                for x in range(bpp, stride):
+                    cur[x] = (cur[x] + cur[x - bpp]) % 256
+        elif ft in (3, 4):
+            cur = np.zeros(stride, dtype=np.int64)
+            upl = out[y - 1].astype(np.int64) if y else np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(upl[x])
+                if ft == 3:  # average
+                    cur[x] = (int(row[x]) + (a + b) // 2) % 256
+                else:  # paeth
+                    c = int(out[y - 1, x - bpp]) if (y and x >= bpp) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (int(row[x]) + pr) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = (cur % 256).astype(np.uint8)
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> numpy pixels, pure stdlib (zlib) + numpy. Supports color
+    types 0/2/3/4/6 at bit depths 1/2/4/8/16 (as the spec permits per
+    type), non-interlaced only (Adam7 raises). Returns (h, w) for gray,
+    (h, w, 2) gray+alpha, (h, w, 3) RGB / palette-expanded, (h, w, 4)
+    RGBA; dtype uint8, or uint16 for 16-bit gray/RGB/RGBA. Sub-8-bit
+    gray samples are rescaled to full 8-bit range (x * 255 / maxval);
+    palette indices are never rescaled (they index PLTE)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat = bytearray()
+    plte = b""
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("non-standard PNG compression/filter method")
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    stride = (w * channels * depth + 7) // 8
+    bpp = max(1, (channels * depth) // 8)
+    mat = _png_unfilter(zlib.decompress(bytes(idat)), h, stride, bpp)
+    if depth == 16:
+        samples = mat.reshape(h, stride).view(">u2").astype(np.uint16)[:, : w * channels]
+    elif depth == 8:
+        samples = mat[:, : w * channels]
+    else:  # 1/2/4-bit: unpack, group `depth` bits big-endian per sample
+        bits = np.unpackbits(mat, axis=1)[:, : w * channels * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (bits.reshape(h, w * channels, depth) * weights).sum(axis=2).astype(np.uint8)
+        if color == 0:  # rescale gray to 8-bit range; palette keeps raw indices
+            samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    if color == 3:
+        if not plte:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[samples.reshape(h, w)]
+    img = samples.reshape(h, w, channels)
+    return img[..., 0] if channels == 1 else img
+
+
+def _png_filter_row(row: np.ndarray, prev: np.ndarray, bpp: int, ft: int) -> np.ndarray:
+    """Apply PNG filter ``ft`` to one raw scanline (encoder side)."""
+    r = row.astype(np.int64)
+    a = np.zeros_like(r)
+    a[bpp:] = r[:-bpp]
+    b = prev.astype(np.int64)
+    c = np.zeros_like(r)
+    c[bpp:] = b[:-bpp]
+    if ft == 0:
+        out = r
+    elif ft == 1:
+        out = r - a
+    elif ft == 2:
+        out = r - b
+    elif ft == 3:
+        out = r - (a + b) // 2
+    else:
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pr = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        out = r - pr
+    return (out % 256).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA uint8 -> PNG bytes.
+    ``filter_type`` applies one filter (0-4) to every scanline — the
+    decoder must invert all five, so tests sweep it."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color, channels = 0, 1
+    elif img.shape[2] == 3:
+        color, channels = 2, 3
+    elif img.shape[2] == 4:
+        color, channels = 6, 4
+    else:
+        raise ValueError("encode_png takes (h,w), (h,w,3) or (h,w,4) uint8")
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * channels)
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.uint8)
+    for y in range(h):
+        raw.append(filter_type)
+        raw.extend(_png_filter_row(flat[y], prev, bpp, filter_type).tobytes())
+        prev = flat[y]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_wav(payload: bytes) -> np.ndarray:
     """PCM WAV -> (n_frames, n_channels) int32 samples (8-bit unsigned
     recentred to signed, 16/32-bit verbatim)."""
@@ -164,6 +344,8 @@ def decode_backend(payload: bytes, mime: str) -> np.ndarray:
     every format the stdlib can parse (PGM/PPM, uncompressed BMP, PCM
     WAV); formats that need an external codec (JPEG/PNG/GIF/MP4) raise
     ``NotImplementedError`` — plug PIL/torchaudio/pyav in here."""
+    if mime == "image/png":
+        return _decode_png(payload)
     if mime in ("image/x-portable-graymap", "image/x-portable-pixmap"):
         return _decode_pnm(payload)
     if mime == "image/bmp":
@@ -289,16 +471,25 @@ def encode_wav(samples: np.ndarray, framerate: int = 8000) -> bytes:
 
 def synthetic_decodable_media(spark, n: int, seed: int = 11, partitions: int | None = None) -> DataFrame:
     """Seeded media table whose payloads are REAL encoded files (PPM,
-    PGM, BMP, WAV round-robin) — exercises the actual codec end-to-end,
-    unlike :func:`synthetic_media` whose bodies are opaque noise."""
+    PGM, BMP, WAV, PNG round-robin — the PNG rows sweep all five
+    scanline filters) — exercises the actual codec end-to-end, unlike
+    :func:`synthetic_media` whose bodies are opaque noise."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 rng = np.random.Generator(np.random.Philox(key=int(i) + seed))
-                ki = int(i) % 4
-                if ki == 0:
+                ki = int(i) % 6
+                if ki >= 4:
+                    h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+                    shape = (h, w, 3) if ki == 4 else (h, w)
+                    payload = encode_png(
+                        rng.integers(0, 256, size=shape, dtype=np.uint8),
+                        filter_type=int(i) % 5,
+                    )
+                    kind, dims, dur = "image", (w, h), 0
+                elif ki == 0:
                     h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
                     payload = encode_ppm(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
                     kind, dims, dur = "image", (w, h), 0

@@ -38,7 +38,7 @@ from coap_rfc_knowledge_graph_spark.operators.multimodal import (  # noqa: E402
 
 # pinned round 4 (local[3] == local[8]; dim=16 features over the
 # 48-row seeded decodable table)
-DECODED_FEATURES_PIN = (48, "3760e3dba5496099eae48fd10771f63e59d528e3910d04a20137ffafc544b9a7")
+DECODED_FEATURES_PIN = (48, "b946c0717c8308e83bfdb0eea0f8da91a8c063c986dd10b6508dbb2d177b2149")
 
 
 def test_ppm_pgm_roundtrip_exact():
@@ -148,6 +148,7 @@ def test_spark_real_decode_partitioning_invariant_and_pinned(spark):
         "image/x-portable-graymap",
         "image/bmp",
         "audio/wav",
+        "image/png",
     }
     media.unpersist()
 
@@ -169,3 +170,71 @@ def test_spark_decode_matches_local_reference(spark):
     assert set(got) == set(expected)
     for k in expected:
         assert np.array_equal(got[k], expected[k]), k
+
+
+def test_png_roundtrip_all_filters_and_shapes():
+    """encode_png -> _decode_png exact pixels for gray/RGB/RGBA under
+    every scanline filter type (the decoder must invert all five)."""
+    from coap_rfc_knowledge_graph_spark.operators.multimodal import _decode_png, encode_png
+
+    rng = np.random.Generator(np.random.Philox(key=17))
+    for shape in [(5, 7), (9, 4, 3), (6, 6, 4), (1, 1), (2, 3, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in range(5):
+            out = _decode_png(encode_png(img, filter_type=ft))
+            assert out.shape == img.shape and np.array_equal(out, img), (shape, ft)
+
+
+def test_png_16bit_palette_and_subbyte_depths():
+    """Hand-built spec-conformant payloads: 16-bit gray keeps uint16,
+    4-bit palette expands through PLTE, 1-bit gray rescales to 0/255."""
+    import struct
+    import zlib
+
+    from coap_rfc_knowledge_graph_spark.operators.multimodal import _decode_png
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    px = np.array([[0, 65535], [1234, 40000]], dtype=">u2")
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(2))
+    b16 = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)) + chunk(
+        b"IDAT", zlib.compress(raw)
+    ) + chunk(b"IEND", b"")
+    out = _decode_png(b16)
+    assert out.dtype == np.uint16 and np.array_equal(out, px.astype(np.uint16))
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    raw = b"\x00" + bytes([0x03, 0x20])  # indices 0,3,2 packed 4-bit
+    bp = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 4, 3, 0, 0, 0)) + chunk(
+        b"PLTE", plte
+    ) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    out = _decode_png(bp)
+    assert out.shape == (1, 3, 3)
+    assert [list(p) for p in out[0]] == [[255, 0, 0], [10, 20, 30], [0, 0, 255]]
+
+    raw = b"\x00" + bytes([0b10100000])
+    b1 = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 1, 0, 0, 0, 0)) + chunk(
+        b"IDAT", zlib.compress(raw)
+    ) + chunk(b"IEND", b"")
+    assert list(_decode_png(b1)[0]) == [255, 0, 255]
+
+
+def test_png_interlaced_raises_not_implemented():
+    import struct
+    import zlib
+
+    from coap_rfc_knowledge_graph_spark.operators.multimodal import _decode_png
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    b = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)) + chunk(
+        b"IDAT", zlib.compress(b"\x00\x00\x00")
+    ) + chunk(b"IEND", b"")
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="Adam7"):
+        _decode_png(b)
