@@ -57,6 +57,67 @@ def edges_from_triples(
     ).distinct()
 
 
+def synthetic_web_edges(
+    spark, n_edges: int, n_nodes: int | None = None, seed: int = 7
+) -> DataFrame:
+    """Deterministic skewed directed edge table shaped like a crawl's
+    link graph, for data-bound benchmarking at any size: src ~ uniform,
+    dst ~ power-law (density ∝ 1/sqrt(dst) via the v² transform of a
+    congruential uniform draw — low-id nodes are hubs, in-degree(0)
+    ≈ n_edges/sqrt(n_nodes), the head-skew shape PageRank/HITS meet on
+    a real web graph). Pure ``spark.range`` + codegen projections:
+    distributed, no driver data, same graph at any partitioning. All
+    intermediate products stay far below 2^63."""
+    n_nodes = n_nodes or max(2, n_edges // 10)
+    m = 1_000_003  # prime modulus for the dst draw; u*u < 1e12 << 2^63
+    return (
+        spark.range(n_edges)
+        .select(
+            F.pmod(F.col("id") * 2654435761 + seed, F.lit(n_nodes)).alias("src"),
+            F.expr(
+                f"(pmod(id * 22695477 + {1 + seed}, {m}) * pmod(id * 22695477 + {1 + seed}, {m})"
+                f" div {m}) * {n_nodes} div {m}"
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def host_graph(
+    edges: DataFrame, level: str = "host", src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """URL-level hyperlink edges -> the weighted host-level (or
+    registered-domain-level, ``level='domain'``) graph: (src_host,
+    dst_host, weight), intra-host edges and unparseable URLs dropped.
+    This is the Common-Crawl host/domain-webgraph product — the input
+    the domain-ranking curation signals (harmonic centrality, domain
+    PageRank) are computed from, three orders of magnitude smaller than
+    the page graph. One codegen projection + one hash aggregate with
+    map-side partial combine; the shuffle carries (host, host) pairs,
+    never URLs."""
+    from .webtext import _AUTH_PAT, _HOST_PAT, registered_domain_expr
+
+    if level not in ("host", "domain"):
+        raise ValueError(f"level must be 'host' or 'domain', got {level!r}")
+
+    def hexpr(c):
+        h = F.lower(F.regexp_extract(F.regexp_extract(c, _AUTH_PAT, 1), _HOST_PAT, 1))
+        return registered_domain_expr(h) if level == "domain" else h
+
+    return (
+        edges.select(
+            hexpr(F.col(src_col)).alias("src_host"), hexpr(F.col(dst_col)).alias("dst_host")
+        )
+        .filter(
+            (F.col("src_host") != "")
+            & (F.col("dst_host") != "")
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 def graph_nodes(edges: DataFrame) -> DataFrame:
     """Distinct node set of a directed edge table (src, dst)."""
     return (
@@ -127,10 +188,18 @@ def pagerank_fixedpoint(
         # released by the ContextCleaner once the returned plan is GC'd,
         # and the lineage cut serves the same reuse-across-iterations goal.
         edges = edges.repartition(prepartition, "src").localCheckpoint(eager=False)
-    out_d = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("out_degree")
+    # out_d and nodes are consumed by EVERY iteration: without lineage
+    # truncation the final plan re-derives each from the full edge table
+    # once per round (k redundant edge-table aggregations in one action —
+    # measured at ~2 s/iteration of pure re-aggregation on a 50M-edge
+    # graph, dwarfing the actual rank join). The repo's double-eval class,
+    # inside its own operator.
+    out_d = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+        .localCheckpoint(eager=False)
     )
-    nodes = graph_nodes(edges)
+    nodes = graph_nodes(edges).localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for i in range(iterations):
         contribs = (
@@ -150,6 +219,198 @@ def pagerank_fixedpoint(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    iterations: int = 4,
+    scale: int = SCALE,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Weighted fixed-point integer PageRank over a (src, dst, weight)
+    edge table — the domain-ranking pass over :func:`host_graph` output
+    (Common Crawl's domain ranks weight inter-host links by how many
+    page-level links they aggregate). Same engine-exact BIGINT
+    discipline as :func:`pagerank_fixedpoint`; the update rule splits a
+    node's damped mass proportionally to edge weight:
+
+        out_w(u)      = sum of weights of u's out-edges
+        contrib(u->v) = (rank(u) * damp_num * w) div (damp_den * out_w(u))
+        rank'(v)      = (scale * (damp_den - damp_num)) div damp_den
+                        + sum over in-edges contrib
+
+    Overflow bound: rank * damp_num * max-weight must stay below 2^63
+    (rank is at most ~total mass = N * scale micro-units); on graphs
+    with very heavy edges pass a smaller ``scale``. Same shuffle shape
+    as the unweighted operator: one equi-join + one hash aggregate per
+    iteration, loop invariants lineage-truncated."""
+    base = (scale * (damp_den - damp_num)) // damp_den
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint(eager=False)
+    out_w = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.sum("w").alias("out_w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = graph_nodes(e).localCheckpoint(eager=False)
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for i in range(iterations):
+        contribs = (
+            ranks.join(out_w, "node")
+            .join(e.select(F.col("src").alias("node"), "dst", "w"), "node")
+            .select(
+                "dst",
+                F.expr(f"(rank * {damp_num} * w) div (out_w * {damp_den})").alias("c"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce("in_mass", F.lit(0))).cast("long").alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def harmonic_centrality(edges: DataFrame, radius: int = 2, scale: int = SCALE) -> DataFrame:
+    """Exact bounded-radius harmonic centrality, fixed-point integer:
+    (node, harmonic, n_reached) where
+
+        harmonic(v) = sum over u with 0 < d(u, v) <= radius
+                      of (scale div d(u, v))
+
+    d = shortest DIRECTED in-distance (u reaches v) — incoming harmonic
+    centrality is the ranking Common Crawl publishes for hosts. BIGINT
+    floor division, so exact under any partitioning and in the DuckDB
+    oracle (unrolled per-layer CTEs).
+
+    Scale shape: this EXACT form materializes every (u, v) pair within
+    ``radius`` — the right tool on the host/domain graph (millions of
+    nodes, small radius) or for the oracle, and deliberately the wrong
+    one on a trillion-edge page graph, where the pair set explodes
+    combinatorially. There, use :func:`harmonic_centrality_sketch`
+    (HyperBall over HLL sketches, node-linear state). Per layer k: one
+    equi-join on the frontier's endpoint + one left-anti join against
+    the already-reached set (min-distance semantics), both plain
+    shuffles on node keys."""
+    if radius < 1:
+        raise ValueError(f"harmonic_centrality needs radius >= 1 (got {radius})")
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = graph_nodes(e).localCheckpoint(eager=False)
+    # reached: (u, v, d) with d = min directed distance, built layer by layer
+    reached = e.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).alias("d"))
+    frontier = reached
+    for k in range(2, radius + 1):
+        reached = reached.localCheckpoint(eager=False)
+        cand = (
+            frontier.select("u", F.col("v").alias("mid"))
+            .join(e.select(F.col("src").alias("mid"), F.col("dst").alias("v")), "mid")
+            .select("u", "v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        frontier = cand.join(reached.select("u", "v"), ["u", "v"], "left_anti").select(
+            "u", "v", F.lit(k).alias("d")
+        )
+        reached = reached.unionByName(frontier)
+    per_node = reached.groupBy(F.col("v").alias("node")).agg(
+        F.sum(F.expr(f"{scale} div d")).alias("harmonic"),
+        F.count(F.lit(1)).alias("n_reached"),
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce("harmonic", F.lit(0)).cast("long").alias("harmonic"),
+        F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
+    )
+
+
+def harmonic_centrality_sketch(
+    edges: DataFrame, radius: int = 2, lg_config_k: int = 12
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, 2013): approximate harmonic centrality
+    via HyperLogLog sketches — the 100-TB path the exact operator's
+    docstring points to. State per node is ONE fixed-size HLL sketch
+    (2^lg_config_k registers), never a pair set:
+
+        ball_0(v) = sketch({v})
+        ball_d(v) = ball_{d-1}(v) HLL-union
+                    (union over in-edges u->v of ball_{d-1}(u))
+        harmonic(v) ~= sum over d of (|ball_d| - |ball_{d-1}|) / d
+
+    Per round: one equi-join of sketches onto edges + one
+    ``hll_union_agg`` keyed dst + one two-sketch ``hll_union`` with the
+    node's own previous ball — node-linear shuffle volume regardless of
+    how many pairs the exact form would enumerate. Estimates come from
+    ``hll_sketch_estimate`` (Apache DataSketches under the hood), so
+    results are approximate and NOT oracle-hashable; parity vs the
+    exact operator is tested on small graphs instead. Returns
+    (node, harmonic_micro, n_reached) with harmonic in micro-units."""
+    if radius < 1:
+        raise ValueError(f"harmonic_centrality_sketch needs radius >= 1 (got {radius})")
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = graph_nodes(e).localCheckpoint(eager=False)
+    # ball_0: each node's sketch of its own id (node is the group key,
+    # so every group holds exactly one distinct value)
+    cur = (
+        nodes.groupBy("node")
+        .agg(F.hll_sketch_agg("node", lg_config_k).alias("ball"))
+        .localCheckpoint(eager=False)
+    )
+    # per-round |ball_d| estimates, joined back at the end
+    ests = [cur.select("node", F.hll_sketch_estimate("ball").cast("double").alias("e0"))]
+    for d in range(1, radius + 1):
+        in_union = (
+            e.join(cur.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.expr("hll_union_agg(ball)").alias("nbr_ball"))
+        )
+        cur = (
+            cur.join(in_union, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("nbr_ball").isNull(), F.col("ball")
+                ).otherwise(F.expr("hll_union(ball, nbr_ball)")).alias("ball"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        ests.append(
+            cur.select("node", F.hll_sketch_estimate("ball").cast("double").alias(f"e{d}"))
+        )
+    out = ests[0]
+    for d in range(1, radius + 1):
+        out = out.join(ests[d], "node")
+    terms = [
+        (F.col(f"e{d}") - F.col(f"e{d-1}")) / F.lit(float(d)) for d in range(1, radius + 1)
+    ]
+    harmonic = terms[0]
+    for t in terms[1:]:
+        harmonic = harmonic + t
+    return out.select(
+        "node",
+        F.round(harmonic * 1_000_000).cast("long").alias("harmonic_micro"),
+        F.round(F.col(f"e{radius}") - F.lit(1.0)).cast("long").alias("n_reached"),
+    )
 
 
 def hits_fixedpoint(
@@ -185,7 +446,8 @@ def hits_fixedpoint(
             f"hits_fixedpoint needs iterations >= 1 (got {iterations}): the "
             "two-phase auth/hub update defines no round-0 auth score"
         )
-    nodes = graph_nodes(edges)
+    # same reuse-across-iterations truncation as pagerank_fixedpoint
+    nodes = graph_nodes(edges).localCheckpoint(eager=False)
     hubs = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
     auth = None
     for i in range(iterations):

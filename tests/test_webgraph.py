@@ -171,3 +171,104 @@ def test_hits_rejects_zero_iterations_and_truncates_lineage(spark):
     # two un-truncated rounds of the x4 doubling ≈ 68 joins; all eight
     # would be ~4^8. Anything in the low hundreds proves truncation ran.
     assert plan.count("Join") <= 100
+
+
+def test_synthetic_web_edges_shape_and_determinism(spark):
+    """The bench graph generator: deterministic under any partitioning,
+    power-law head (node 0 is the top hub), no self-loops, bounded ids."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import synthetic_web_edges
+
+    e = synthetic_web_edges(spark, 20_000, seed=7)
+    rows = e.collect()
+    assert all(r.src != r.dst for r in rows)
+    assert all(0 <= r.dst < 2_000 and 0 <= r.src < 2_000 for r in rows)
+    from collections import Counter
+
+    indeg = Counter(r.dst for r in rows)
+    top = indeg.most_common(3)
+    assert top[0][0] == 0 and top[0][1] > 3 * top[2][1]  # head skew
+    again = sorted((r.src, r.dst) for r in synthetic_web_edges(spark, 20_000, seed=7).repartition(13).collect())
+    assert again == sorted((r.src, r.dst) for r in rows)
+
+
+def test_pagerank_weighted_unit_weights_equal_unweighted(spark):
+    """With weight=1 everywhere the weighted update rule degenerates to
+    the unweighted one (out_w == out_degree), so the two operators must
+    be bit-identical."""
+    from pyspark.sql import functions as F
+
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import (
+        pagerank_fixedpoint,
+        pagerank_weighted,
+        synthetic_web_edges,
+    )
+
+    e = synthetic_web_edges(spark, 3_000, seed=7).distinct()
+    we = e.withColumn("weight", F.lit(1))
+    a = sorted((r.node, r.rank) for r in pagerank_weighted(we, iterations=3).collect())
+    b = sorted((r.node, r.rank) for r in pagerank_fixedpoint(e, iterations=3).collect())
+    assert a == b and len(a) > 0
+
+
+def test_pagerank_weighted_mass_follows_weight(spark):
+    """One source splitting 3:1 between two sinks: the heavy edge's
+    endpoint gets 3x the light one's in-mass (exact integer check)."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import pagerank_weighted
+
+    edges = spark.createDataFrame(
+        [("s", "a", 3), ("s", "b", 1)], "src string, dst string, weight long"
+    )
+    got = {r.node: r.rank for r in pagerank_weighted(edges, iterations=1).collect()}
+    base = 150_000
+    # contrib = (1_000_000 * 85 * w) div (4 * 100)
+    assert got["a"] == base + (1_000_000 * 85 * 3) // 400
+    assert got["b"] == base + (1_000_000 * 85 * 1) // 400
+    assert got["s"] == base  # no in-edges
+
+
+def test_harmonic_centrality_exact_on_hand_graph(spark):
+    """Path a->b->c->d plus shortcut a->c, radius 2: distances into c
+    are {b:1, a:1 (shortcut wins over the 2-hop path)}, into d are
+    {c:1, b:2, a:2}."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")], "src string, dst string"
+    )
+    got = {r.node: (r.harmonic, r.n_reached) for r in harmonic_centrality(edges, radius=2).collect()}
+    S = 1_000_000
+    assert got["a"] == (0, 0)
+    assert got["b"] == (S, 1)  # a at d=1
+    assert got["c"] == (2 * S, 2)  # a,b both at d=1 (shortcut wins)
+    assert got["d"] == (S + 2 * (S // 2), 3)  # c@1, b@2, a@2
+    # partitioning invariance
+    again = {
+        r.node: (r.harmonic, r.n_reached)
+        for r in harmonic_centrality(edges.repartition(7), radius=2).collect()
+    }
+    assert again == got
+
+
+def test_harmonic_sketch_tracks_exact_and_validates_radius(spark):
+    """HyperBall vs the exact operator on a 300-node graph: HLL sketches
+    are exact at these cardinalities (sparse mode), so the estimates
+    must match the exact counts; harmonic within rounding."""
+    import pytest
+
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import (
+        harmonic_centrality,
+        harmonic_centrality_sketch,
+        synthetic_web_edges,
+    )
+
+    e = synthetic_web_edges(spark, 3_000, seed=11)
+    exact = {r.node: (r.harmonic, r.n_reached) for r in harmonic_centrality(e, radius=2).collect()}
+    sk = {r.node: (r.harmonic_micro, r.n_reached) for r in harmonic_centrality_sketch(e, radius=2).collect()}
+    assert set(sk) == set(exact)
+    for n, (h, c) in exact.items():
+        assert sk[n][1] == c
+        assert abs(sk[n][0] - h) <= max(2, h // 1000)  # float round-off only
+    with pytest.raises(ValueError):
+        harmonic_centrality_sketch(e, radius=0)
+    with pytest.raises(ValueError):
+        harmonic_centrality(e, radius=0)
