@@ -488,6 +488,95 @@ def q_substring_spans(spark, sf_dir):
     )
 
 
+def q_host_graph(spark, sf_dir):
+    """Host-level webgraph aggregation (the Common-Crawl host-graph
+    product): URL edges synthesized across 17 hosts -> weighted
+    (src_host, dst_host, weight) via the regex host extraction +
+    hash aggregate; intra-host edges dropped."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import host_graph
+
+    d = F.col("doc_id")
+    edges = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (d % 17).cast("string"), F.lit(".example/p/"), d.cast("string")
+        ).alias("src"),
+        F.concat(
+            F.lit("https://h"),
+            ((d * 7 + 3) % 17).cast("string"),
+            F.lit(".example/q/"),
+            (d % 100).cast("string"),
+        ).alias("dst"),
+    )
+    return host_graph(edges)
+
+
+def q_domain_graph(spark, sf_dir):
+    """Registered-domain-level webgraph: hosts with subdomain and
+    two-level-public-suffix shapes collapse to their registrable domain
+    before aggregation (subdomains must not split a site's edges)."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import host_graph
+
+    d = F.col("doc_id")
+
+    def h(k):
+        lab = F.concat(F.lit("h"), (k % 11).cast("string"))
+        return (
+            F.when(k % 3 == 0, F.concat(F.lit("www."), lab, F.lit(".co.uk")))
+            .when(k % 3 == 1, F.concat(F.lit("cdn.a."), lab, F.lit(".org")))
+            .otherwise(F.concat(lab, F.lit(".com")))
+        )
+
+    edges = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://"), h(d), F.lit("/p")).alias("src"),
+        F.concat(F.lit("https://"), h(d * 5 + 2), F.lit("/q")).alias("dst"),
+    )
+    return host_graph(edges, level="domain")
+
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt compliance gate (RFC 9309 longest-prefix-match,
+    Allow wins ties, no rule = allowed) over urls synthesized across 7
+    hosts with host-dependent rule sets."""
+    from coap_rfc_knowledge_graph_spark.operators.robots import robots_filter
+
+    d = F.col("doc_id")
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (d % 7).cast("string"), F.lit(".example/p"),
+            (d % 5).cast("string"), F.lit("/f"), d.cast("string"),
+        ).alias("url")
+    )
+    ks = spark.range(7).select(F.col("id").alias("k"))
+    host = F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".example"))
+    rules = (
+        ks.select(host.alias("host"), F.lit(False).alias("allow"), F.lit("/p0").alias("path_prefix"))
+        .unionByName(ks.select(host.alias("host"), F.lit(True).alias("allow"), F.lit("/p0/f1").alias("path_prefix")))
+        .unionByName(
+            ks.filter(F.col("k") % 2 == 0).select(
+                host.alias("host"), F.lit(False).alias("allow"), F.lit("/").alias("path_prefix")
+            )
+        )
+    )
+    return robots_filter(pages, rules).select("url", "robots_allowed")
+
+
+def q_script_profile(spark, sf_dir):
+    """Unicode script histogram + dominant script over a deterministic
+    mixed-script corpus (Latin base with Cyrillic/CJK/Arabic spans by
+    doc_id) — the wrong-script curation signal; zero-shuffle codegen."""
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import script_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text = (
+        F.when(d % 4 == 1, F.concat(F.col("text"), F.lit(" \u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440")))
+        .when(d % 4 == 2, F.concat(F.lit("\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8 "), F.substring("text", 1, 10)))
+        .when(d % 4 == 3, F.concat(F.col("text"), F.lit(" \u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645")))
+        .otherwise(F.col("text"))
+    )
+    return script_profile(docs.select("doc_id", text.alias("text")))
+
+
 def q_nsp_pairs(spark, sf_dir):
     """M11 data-prep: NSP sentence-pair generation over documents —
     per-doc lead() next sentence vs congruential-draw random partner
@@ -1293,6 +1382,10 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_provenance": q_triple_provenance,
         "web_link_graph": q_web_link_graph,
         "anchor_text_stats": q_anchor_text_stats,
+        "host_graph": q_host_graph,
+        "domain_graph": q_domain_graph,
+        "robots_filter": q_robots_filter,
+        "script_profile": q_script_profile,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,
@@ -1424,6 +1517,77 @@ _WEBURL_CTE = r"""
       FROM parts
     )
 """
+
+
+def _script_profile_sql() -> str:
+    """DuckDB mirror of q_script_profile: same mixed-script synthesis
+    (real UTF-8 literals == the Spark side's \\u escapes), same RE2
+    block patterns (the \\x{....} escape syntax parses identically in
+    Java regex and RE2), same first-block-wins tie order."""
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import SCRIPT_BLOCKS
+
+    cnt = {n: f"len(regexp_extract_all(text, '{p}'))" for n, p in SCRIPT_BLOCKS.items()}
+    cols = ", ".join(f"CAST({c} AS BIGINT) AS n_{n}" for n, c in cnt.items())
+    best = "greatest(" + ", ".join(f"n_{n}" for n in SCRIPT_BLOCKS) + ")"
+    main = "CASE " + " ".join(
+        f"WHEN n_{n} > 0 AND n_{n} = {best} THEN '{n}'" for n in SCRIPT_BLOCKS
+    ) + " ELSE 'none' END"
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE doc_id % 4
+                   WHEN 1 THEN text || ' \u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440'
+                   WHEN 2 THEN '\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8 ' || substr(text, 1, 10)
+                   WHEN 3 THEN text || ' \u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645'
+                   ELSE text END AS text
+          FROM documents
+        ),
+        c AS (SELECT doc_id, {cols}, CAST(length(text) AS BIGINT) AS n_chars, text FROM t)
+        SELECT doc_id, {", ".join(f"n_{n}" for n in SCRIPT_BLOCKS)}, n_chars, {main} AS main_script
+        FROM c
+    """
+
+
+def _domain_graph_sql() -> str:
+    """DuckDB mirror of q_domain_graph: same host synthesis, same
+    registrable-domain collapse (shared suffix list), same weighted
+    aggregation with intra-domain edges dropped."""
+    from coap_rfc_knowledge_graph_spark.operators.webtext import TWO_LEVEL_SUFFIXES
+
+    suffixes = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+
+    def host(k: str) -> str:
+        return (
+            f"CASE ({k}) % 3 "
+            f"WHEN 0 THEN 'www.h' || CAST(({k}) % 11 AS VARCHAR) || '.co.uk' "
+            f"WHEN 1 THEN 'cdn.a.h' || CAST(({k}) % 11 AS VARCHAR) || '.org' "
+            f"ELSE 'h' || CAST(({k}) % 11 AS VARCHAR) || '.com' END"
+        )
+
+    rd = (
+        "CASE WHEN len(parts) <= 2 THEN h "
+        f"WHEN parts[-2] || '.' || parts[-1] IN ({suffixes}) "
+        "THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1] "
+        "ELSE parts[-2] || '.' || parts[-1] END"
+    )
+    return f"""
+        WITH raw AS (
+          SELECT {host('doc_id')} AS src_h, {host('doc_id * 5 + 2')} AS dst_h
+          FROM documents
+        ),
+        s AS (
+          SELECT h, {rd} AS rd
+          FROM (SELECT DISTINCT src_h AS h FROM raw UNION SELECT DISTINCT dst_h FROM raw),
+               LATERAL (SELECT string_split(h, '.') AS parts)
+        ),
+        e AS (
+          SELECT sa.rd AS src_host, sb.rd AS dst_host
+          FROM raw JOIN s sa ON sa.h = raw.src_h JOIN s sb ON sb.h = raw.dst_h
+        )
+        SELECT src_host, dst_host, COUNT(*) AS weight
+        FROM e WHERE src_host <> dst_host
+        GROUP BY src_host, dst_host
+    """
 
 
 def _registered_domain_sql() -> str:
@@ -1996,6 +2160,43 @@ def oracle_sql() -> dict[str, str]:
             FROM normed GROUP BY host
         """,
         "weburl_registered_domain": _registered_domain_sql(),
+        "host_graph": """
+            WITH e AS (
+              SELECT 'h' || CAST(doc_id % 17 AS VARCHAR) || '.example' AS src_host,
+                     'h' || CAST((doc_id * 7 + 3) % 17 AS VARCHAR) || '.example' AS dst_host
+              FROM documents
+            )
+            SELECT src_host, dst_host, COUNT(*) AS weight
+            FROM e WHERE src_host <> dst_host
+            GROUP BY src_host, dst_host
+        """,
+        "domain_graph": _domain_graph_sql(),
+        "robots_filter": """
+            WITH p AS (
+              SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p' ||
+                     CAST(doc_id % 5 AS VARCHAR) || '/f' || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id % 7 AS k,
+                     '/p' || CAST(doc_id % 5 AS VARCHAR) || '/f' || CAST(doc_id AS VARCHAR) AS path
+              FROM documents
+            ),
+            r AS (
+              SELECT k, FALSE AS allow, '/p0' AS prefix FROM range(7) t(k)
+              UNION ALL SELECT k, TRUE, '/p0/f1' FROM range(7) t(k)
+              UNION ALL SELECT k, FALSE, '/' FROM range(7) t(k) WHERE k % 2 = 0
+            ),
+            m AS (
+              SELECT p.url, r.allow,
+                     row_number() OVER (
+                       PARTITION BY p.url
+                       ORDER BY len(r.prefix) DESC, r.allow DESC
+                     ) AS rk
+              FROM p JOIN r ON r.k = p.k AND p.path LIKE r.prefix || '%'
+            ),
+            best AS (SELECT url, allow FROM m WHERE rk = 1)
+            SELECT p.url, COALESCE(best.allow, TRUE) AS robots_allowed
+            FROM p LEFT JOIN best USING (url)
+        """,
+        "script_profile": _script_profile_sql(),
         "weburl_domain_filter": f"""
             WITH {_WEBURL_CTE},
             b AS (

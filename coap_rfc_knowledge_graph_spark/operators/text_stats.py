@@ -350,3 +350,47 @@ def winnowing_overlap(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# --- Unicode script profile ----------------------------------------------------
+
+# contiguous base blocks per script (BMP only — deliberate: the profile
+# is a curation signal, not a classifier; supplementary-plane CJK and
+# historic scripts land in 'other'). \x{....} escapes parse identically
+# in Java regex (Spark) and RE2 (DuckDB), which is what keeps the
+# operator oracle-exact across engines.
+SCRIPT_BLOCKS = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "hebrew": r"[\x{0590}-\x{05FF}]",
+    "devanagari": r"[\x{0900}-\x{097F}]",
+    "cjk": r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]",
+}
+
+
+def script_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script histogram + dominant script:
+    (doc_id, n_<script> per block family, n_chars, main_script) — the
+    multilingual-corpus curation signal that catches wrong-script
+    content (e.g. Cyrillic spam on a .de domain) where stopword
+    language-ID sees only 'und'. Ties break by the fixed SCRIPT_BLOCKS
+    order ('none' when every counter is zero). One zero-shuffle codegen
+    projection: regexp_count per block over the text column."""
+    t = F.col(text_col)
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in SCRIPT_BLOCKS.items()
+    }
+    best = F.greatest(*[counts[n] for n in SCRIPT_BLOCKS])
+    main = F.lit("none")
+    for name in reversed(list(SCRIPT_BLOCKS)):  # earlier names win ties
+        c = F.regexp_count(t, F.lit(SCRIPT_BLOCKS[name])).cast("long")
+        main = F.when((c > 0) & (c == best), name).otherwise(main)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *counts.values(),
+        F.length(t).cast("long").alias("n_chars"),
+        main.alias("main_script"),
+    )

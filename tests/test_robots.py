@@ -1,0 +1,120 @@
+"""robots.txt compliance gate (operators/robots.py) + Unicode script
+profile (text_stats.script_profile)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from coap_rfc_knowledge_graph_spark.operators.robots import (
+    parse_robots,
+    parse_robots_text,
+    robots_filter,
+)
+
+ROBOTS = """\
+# comment line
+User-agent: googlebot
+Disallow: /google-only
+
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /tmp*
+Disallow:
+Allow: /downloads/*.pdf
+Disallow: *
+
+User-agent: evilbot
+Disallow: /
+"""
+
+
+def test_parse_robots_text_groups_and_wildcards():
+    rules = parse_robots_text(ROBOTS, agent="*")
+    # the googlebot and evilbot groups don't apply to '*'
+    assert (False, "/google-only") not in rules
+    assert (False, "/") in rules  # 'Disallow: *' -> conservative '/'
+    assert (False, "/private") in rules
+    assert (True, "/private/ok") in rules
+    assert (False, "/tmp") in rules  # wildcard truncated to literal prefix
+    assert (True, "/downloads/") in rules  # '*.pdf' truncated at '*'
+    # empty Disallow contributes nothing
+    assert all(p != "" for _a, p in rules)
+
+
+def test_parse_robots_text_specific_agent_merges_star():
+    rules = parse_robots_text(ROBOTS, agent="googlebot")
+    assert (False, "/google-only") in rules  # its own group
+    assert (False, "/private") in rules  # plus the merged '*' group
+
+
+def test_parse_robots_dataframe_binary_payloads(spark):
+    df = spark.createDataFrame(
+        [("a.example", ROBOTS.encode()), ("b.example", b"User-agent: *\nDisallow: /x\n"),
+         ("c.example", None)],
+        "host string, payload binary",
+    )
+    got = {(r.host, r.allow, r.path_prefix) for r in parse_robots(df).collect()}
+    assert ("b.example", False, "/x") in got
+    assert ("a.example", True, "/private/ok") in got
+    assert not any(h == "c.example" for h, _a, _p in got)
+
+
+def test_robots_filter_longest_match_allow_ties_and_default(spark):
+    rules = spark.createDataFrame(
+        [
+            ("h.example", False, "/private"),
+            ("h.example", True, "/private/ok"),
+            ("h.example", False, "/private/ok"),  # same length: allow wins
+            ("h.example", False, "/"),
+        ],
+        "host string, allow boolean, path_prefix string",
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://h.example/private/secret",),  # /private + / -> disallow
+            ("https://h.example/private/ok/file",),  # longest = allow
+            ("https://h.example/",),  # '/' disallow catches the root
+            ("https://other.example/anything",),  # no rules -> allowed
+            ("https://h.example:8080/private/ok",),  # port must not break host match
+        ],
+        "url string",
+    )
+    got = {r.url: r.robots_allowed for r in robots_filter(pages, rules).collect()}
+    assert got["https://h.example/private/secret"] is False
+    assert got["https://h.example/private/ok/file"] is True
+    assert got["https://h.example/"] is False
+    assert got["https://other.example/anything"] is True
+    assert got["https://h.example:8080/private/ok"] is True
+    # partitioning invariance
+    again = {
+        r.url: r.robots_allowed
+        for r in robots_filter(pages.repartition(5), rules.repartition(3)).collect()
+    }
+    assert again == got
+
+
+def test_script_profile_blocks_and_ties(spark):
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world"),
+            (1, "Привет мир и ещё текст"),
+            (2, "日本語のテキスト plus latin"),
+            (3, "مرحبا hello"),  # 5 latin vs 5 arabic: order breaks the tie
+            (4, "12345 !!!"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in script_profile(docs).collect()}
+    assert got[0].main_script == "latin" and got[0].n_latin == 10
+    assert got[1].main_script == "cyrillic" and got[1].n_cyrillic == 18
+    assert got[2].n_cjk == 8 and got[2].main_script == "latin"  # 9 latin chars win
+    assert got[3].main_script == "latin" and got[3].n_arabic == 5
+    assert got[4].main_script == "none"
+    assert got[5].main_script == "none"
