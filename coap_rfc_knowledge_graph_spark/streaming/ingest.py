@@ -84,6 +84,38 @@ def stream_triples(
     return writer.start()
 
 
+def stream_link_graph(
+    pages_stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """pages stream -> continuously-appended hyperlink-edge parquet:
+    the streaming twin of the batch ``--link-graph`` stage (the crawl's
+    edge table stays current as pages arrive). Same idempotent
+    one-subdirectory-per-micro-batch write discipline as
+    :func:`stream_triples` — edge extraction is a stateless per-page
+    transform (``html_links``), so batch == stream edge sets by
+    construction and the ONLY streaming concern is exactly-once, which
+    the checkpoint + overwrite-own-batch_id write provides. Readers see
+    the union via partition discovery and aggregate/dedup downstream
+    exactly as they would over the batch stage's output."""
+    from ..operators.html_extract import html_links
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        edges = html_links(batch_df)
+        edges.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window_duration: str = "1 minute",

@@ -406,3 +406,58 @@ def test_stateless_curation_ops_compose_in_streaming(spark, tmp_path):
     assert got == batch and len(got) > 0
     # every emitted row is masked and deterministically split
     assert all("@" not in r[3] for r in got)
+
+
+def test_stream_link_graph_matches_batch_over_3_batches(spark, tmp_path):
+    """VERDICT r4 item 8: the crawl's hyperlink edge table built
+    incrementally (foreachBatch html_links) equals the batch
+    --link-graph stage's edge set, with the pages split across >= 3
+    micro-batches."""
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import (
+        html_links,
+        synthetic_html_pages,
+    )
+    from coap_rfc_knowledge_graph_spark.streaming.ingest import (
+        stream_link_graph,
+        stream_pages,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"sentence {i} with words w{i % 5} and w{(i * 3) % 7}") for i in range(9)],
+        "doc_id long, text string",
+    )
+    ts = datetime.datetime(2026, 1, 2)
+    # widen to the north-rule pages schema the stream source expects
+    pages = synthetic_html_pages(docs).select("url", "html")
+    rows = [(r["url"], bytes(r["html"]), None, "en", ts) for r in pages.collect()]
+    cols = "url string, html binary, text string, lang string, warc_ts timestamp"
+    flat_dir = str(tmp_path / "in")
+    os.makedirs(flat_dir)
+    n = 0
+    for i, chunk in enumerate([rows[0:3], rows[3:6], rows[6:9]]):
+        d = str(tmp_path / f"b{i}")
+        spark.createDataFrame(chunk, cols).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat_dir, f"part{n}.parquet")
+                os.rename(os.path.join(d, f), dst)
+                os.utime(dst, (1000000000 + n * 1000, 1000000000 + n * 1000))
+                n += 1
+    assert n == 3
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_link_graph(
+        stream_pages(spark, flat_dir, max_files_per_trigger=1),
+        output_dir=out_dir,
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    assert got.select("batch_id").distinct().count() >= 2
+    stream_edges = sorted(
+        (r.src, r.dst, r.anchor) for r in got.drop("batch_id").collect()
+    )
+    batch_df = spark.createDataFrame(rows, cols)
+    batch_edges = sorted((r.src, r.dst, r.anchor) for r in html_links(batch_df).collect())
+    assert stream_edges == batch_edges and len(stream_edges) > 0
