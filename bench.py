@@ -215,6 +215,35 @@ def main() -> None:
 
         edges = entrymod._synth_edges(docs)
         timed("graph_pagerank", lambda: pagerank_fixedpoint(edges, iterations=3).count(), repeat=2)
+
+        # data-bound webgraph evidence (the 211-node graph above measures
+        # per-job overhead only): a seeded power-law edge table at two
+        # sizes 10x apart — the ratio separates data cost from constants
+        from coap_rfc_knowledge_graph_spark.operators.webgraph import (
+            hits_fixedpoint,
+            synthetic_web_edges,
+            two_hop_counts,
+        )
+
+        graph_edges = int(os.environ.get("SPARK_GRAFT_GRAPH_EDGES", "3000000"))
+        for label, ne in (("small", graph_edges // 10), ("big", graph_edges)):
+            wedges = synthetic_web_edges(spark, ne).localCheckpoint(eager=True)
+            timings[f"webgraph_{label}_n_edges"] = ne
+            timed(
+                f"webgraph_pagerank_{label}",
+                lambda w=wedges: pagerank_fixedpoint(w, iterations=3).count(),
+                repeat=2,
+            )
+            timed(
+                f"webgraph_hits_{label}",
+                lambda w=wedges: hits_fixedpoint(w, iterations=2).count(),
+                repeat=2,
+            )
+            timed(
+                f"webgraph_twohop_{label}",
+                lambda w=wedges: two_hop_counts(w).agg(F.sum("n_two_hop")).collect(),
+                repeat=2,
+            )
         timed(
             "lm_coverage",
             lambda: lm_coverage(
