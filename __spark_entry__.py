@@ -1135,6 +1135,43 @@ def q_graph_two_hop(spark, sf_dir):
     return two_hop_counts(_synth_edges(_t(spark, sf_dir, "documents")))
 
 
+def q_graph_pagerank_weighted(spark, sf_dir):
+    """The Common-Crawl domain-ranking composition end-to-end: URL
+    edges -> host_graph (weighted host-level aggregation) ->
+    pagerank_weighted (3 iterations, damped mass split proportionally
+    to edge weight). Fixed-point BIGINT, so the unrolled-CTE DuckDB
+    oracle hash-matches bit-for-bit."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import (
+        host_graph,
+        pagerank_weighted,
+    )
+
+    d = F.col("doc_id")
+    edges = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (d % 17).cast("string"), F.lit(".example/p/"), d.cast("string")
+        ).alias("src"),
+        F.concat(
+            F.lit("https://h"),
+            ((d * 7 + 3) % 17).cast("string"),
+            F.lit(".example/q/"),
+            (d % 100).cast("string"),
+        ).alias("dst"),
+    )
+    hg = host_graph(edges)
+    return pagerank_weighted(hg, iterations=3, src_col="src_host", dst_col="dst_host")
+
+
+def q_graph_harmonic(spark, sf_dir):
+    """Exact bounded-radius (2) incoming harmonic centrality over the
+    synthetic link graph — layered min-distance expansion, BIGINT floor
+    division, zero-filled over the node set; per-layer DuckDB CTEs
+    mirror the frontier/left-anti construction exactly."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import harmonic_centrality
+
+    return harmonic_centrality(_synth_edges(_t(spark, sf_dir, "documents")), radius=2)
+
+
 def q_lm_coverage(spark, sf_dir):
     """CCNet-style corpus-LM scoring, exact-integer form: bigram LM
     trained on the 80% reference slice (doc_id % 10 < 8), every doc
@@ -1404,6 +1441,8 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
         "graph_two_hop": q_graph_two_hop,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "graph_harmonic": q_graph_harmonic,
         "token_budget": q_token_budget,
         "mixture_rates": q_mixture_rates,
         "kmeans_clusters": q_kmeans_clusters,
@@ -1696,6 +1735,88 @@ def _hits_sql(iterations: int = 2, scale: int = 1_000_000) -> str:
                CAST(COALESCE(h.hub, 0) AS BIGINT) AS hub
         FROM nodes n LEFT JOIN a{iterations} a ON a.node = n.node
                      LEFT JOIN h{iterations} h ON h.node = n.node"""
+    )
+
+
+def _pagerank_weighted_sql(iterations: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled weighted-PageRank oracle over the host graph built from
+    q_graph_pagerank_weighted's synthesized URL edges: the host_graph
+    aggregation becomes the weighted-edges CTE, then one (contrib,
+    rank) layer per iteration mirroring ``pagerank_weighted`` — damped
+    mass split by weight, BIGINT floor division throughout."""
+    base = (scale * 15) // 100
+    head = f"""
+    e0 AS (
+      SELECT 'h' || CAST(doc_id % 17 AS VARCHAR) || '.example' AS src,
+             'h' || CAST((doc_id * 7 + 3) % 17 AS VARCHAR) || '.example' AS dst
+      FROM documents
+    ),
+    edges AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      FROM e0 WHERE src <> dst GROUP BY src, dst
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
+    ),
+    outw AS (SELECT src AS node, SUM(w) AS out_w FROM edges GROUP BY src)
+    """
+    layers = [f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"]
+    for i in range(1, iterations + 1):
+        layers.append(
+            f"""c{i} AS (
+              SELECT e.dst AS node, SUM((r.rank * 85 * e.w) // (o.out_w * 100)) AS in_mass
+              FROM r{i-1} r JOIN outw o ON o.node = r.node
+                            JOIN edges e ON e.src = r.node
+              GROUP BY e.dst
+            ),
+            r{i} AS (
+              SELECT n.node, CAST({base} + COALESCE(c.in_mass, 0) AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+            )"""
+        )
+    return (
+        "WITH " + head + ",\n" + ",\n".join(layers)
+        + f"\nSELECT node, rank FROM r{iterations}"
+    )
+
+
+def _harmonic_sql(radius: int = 2, scale: int = 1_000_000) -> str:
+    """Unrolled exact harmonic-centrality oracle mirroring
+    ``webgraph.harmonic_centrality``: layer k holds the pairs first
+    reached at distance k (frontier join + anti-join against every
+    earlier layer), harmonic = SUM(scale // d) zero-filled over
+    nodes."""
+    layers = ["d1 AS (SELECT src AS u, dst AS v, 1 AS d FROM edges)"]
+    reached_names = ["d1"]
+    for k in range(2, radius + 1):
+        prev_union = " UNION ALL ".join(f"SELECT u, v FROM {n}" for n in reached_names)
+        layers.append(
+            f"""c{k} AS (
+              SELECT DISTINCT f.u, e.dst AS v
+              FROM d{k-1} f JOIN edges e ON e.src = f.v
+              WHERE f.u <> e.dst
+            ),
+            d{k} AS (
+              SELECT c.u, c.v, {k} AS d FROM c{k} c
+              LEFT JOIN ({prev_union}) r ON r.u = c.u AND r.v = c.v
+              WHERE r.u IS NULL
+            )"""
+        )
+        reached_names.append(f"d{k}")
+    reached = " UNION ALL ".join(f"SELECT * FROM {n}" for n in reached_names)
+    return (
+        "WITH " + _EDGES_CTE + ",\n" + ",\n".join(layers)
+        + f""",
+        reached AS ({reached}),
+        per AS (
+          SELECT v AS node, SUM({scale} // d) AS harmonic,
+                 CAST(count(*) AS BIGINT) AS n_reached
+          FROM reached GROUP BY v
+        )
+        SELECT n.node, CAST(COALESCE(p.harmonic, 0) AS BIGINT) AS harmonic,
+               CAST(COALESCE(p.n_reached, 0) AS BIGINT) AS n_reached
+        FROM nodes n LEFT JOIN per p ON p.node = n.node"""
     )
 
 
@@ -2243,6 +2364,8 @@ def oracle_sql() -> dict[str, str]:
             FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
             GROUP BY e1.src
         """,
+        "graph_pagerank_weighted": _pagerank_weighted_sql(iterations=3),
+        "graph_harmonic": _harmonic_sql(radius=2),
         "token_budget": r"""
             WITH tok AS (
               SELECT lang,
