@@ -1070,6 +1070,29 @@ def q_weburl_domain_filter(spark, sf_dir):
     return kept.select("doc_id", "host")
 
 
+def q_crawl_delta(spark, sf_dir):
+    """Snapshot diff driving incremental re-crawl: old snapshot drops
+    doc_id%10==7 (-> added in new), new drops doc_id%10==3 (-> removed),
+    doc_id%5==0 pages change content (-> changed fingerprint), the rest
+    unchanged. One full-outer join on url + a codegen status
+    projection."""
+    from coap_rfc_knowledge_graph_spark.operators.webtext import crawl_delta
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 17).cast("string"), F.lit(".example/p/"), d.cast("string")
+    )
+    old = docs.filter(d % 10 != 7).select(url.alias("url"), F.md5("text").alias("fingerprint"))
+    new = docs.filter(d % 10 != 3).select(
+        url.alias("url"),
+        F.when(d % 5 == 0, F.md5(F.concat(F.col("text"), F.lit("v2"))))
+        .otherwise(F.md5("text"))
+        .alias("fingerprint"),
+    )
+    return crawl_delta(old, new)
+
+
 def _synth_edges(docs: DataFrame) -> DataFrame:
     """Deterministic directed link graph over ``documents`` for the
     graph_* contract family (mirrored by ``_EDGES_CTE``): 211 nodes,
@@ -1170,6 +1193,28 @@ def q_graph_harmonic(spark, sf_dir):
     from coap_rfc_knowledge_graph_spark.operators.webgraph import harmonic_centrality
 
     return harmonic_centrality(_synth_edges(_t(spark, sf_dir, "documents")), radius=2)
+
+
+def q_graph_components(spark, sf_dir):
+    """Weakly-connected components over a deliberately disconnected
+    synthetic graph (edges kept only within 53-node blocks, so the 211
+    nodes split into 4+ components and the min-label propagation does
+    real multi-round work). Oracle = DuckDB recursive-CTE transitive
+    closure: component id = min node over the undirected reachable
+    set."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import (
+        weakly_connected_components,
+    )
+
+    d = F.col("doc_id")
+    edges = (
+        _t(spark, sf_dir, "documents")
+        .select((d % 211).alias("src"), ((d * 13 + 5) % 211).alias("dst"))
+        .filter((F.col("src") != F.col("dst"))
+                & (F.floor(F.col("src") / 53) == F.floor(F.col("dst") / 53)))
+        .distinct()
+    )
+    return weakly_connected_components(edges)
 
 
 def q_lm_coverage(spark, sf_dir):
@@ -1443,6 +1488,8 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_two_hop": q_graph_two_hop,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_harmonic": q_graph_harmonic,
+        "graph_components": q_graph_components,
+        "crawl_delta": q_crawl_delta,
         "token_budget": q_token_budget,
         "mixture_rates": q_mixture_rates,
         "kmeans_clusters": q_kmeans_clusters,
@@ -2366,6 +2413,60 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank_weighted": _pagerank_weighted_sql(iterations=3),
         "graph_harmonic": _harmonic_sql(radius=2),
+        "crawl_delta": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://h' || CAST(doc_id % 17 AS VARCHAR) || '.example/p/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     text
+              FROM documents
+            ),
+            old AS (
+              SELECT url, md5(text) AS old_fp FROM u WHERE doc_id % 10 <> 7
+            ),
+            new AS (
+              SELECT url,
+                     CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS new_fp
+              FROM u WHERE doc_id % 10 <> 3
+            )
+            SELECT COALESCE(old.url, new.url) AS url, old_fp, new_fp,
+                   CASE WHEN old_fp IS NULL THEN 'added'
+                        WHEN new_fp IS NULL THEN 'removed'
+                        WHEN old_fp <> new_fp THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM old FULL OUTER JOIN new ON old.url = new.url
+        """,
+        "graph_components": """
+            WITH RECURSIVE be AS (
+              SELECT doc_id % 211 AS src, (doc_id * 13 + 5) % 211 AS dst FROM documents
+            ),
+            edges AS (
+              SELECT DISTINCT src, dst FROM be
+              WHERE src <> dst AND src // 53 = dst // 53
+            ),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+            ),
+            sym AS (
+              SELECT src AS x, dst AS y FROM edges
+              UNION SELECT dst, src FROM edges
+            ),
+            reach(x, y) AS (
+              SELECT x, y FROM sym
+              UNION
+              SELECT r.x, s.y FROM reach r JOIN sym s ON s.x = r.y
+            ),
+            comp AS (
+              SELECT n.node,
+                     COALESCE(LEAST(n.node, MIN(r.y)), n.node) AS component
+              FROM nodes n LEFT JOIN reach r ON r.x = n.node
+              GROUP BY n.node
+            )
+            SELECT node, component,
+                   CAST(node = component AS INT) AS is_rep
+            FROM comp
+        """,
         "token_budget": r"""
             WITH tok AS (
               SELECT lang,

@@ -127,6 +127,32 @@ def graph_nodes(edges: DataFrame) -> DataFrame:
     )
 
 
+def weakly_connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Weakly-connected components of a directed edge table:
+    (node, component, is_rep) with ``component`` = the MIN node id of
+    the undirected component — the webgraph mirror-site / link-farm
+    grouping signal (a crawl's host graph decomposes into one giant
+    component plus a long tail of isolated site clusters worth
+    down-weighting as a unit).
+
+    Pure reuse of :func:`dedup.dup_clusters`'s distributed min-label
+    propagation (one symmetric-edge join + min aggregate per round,
+    per-round lineage truncation, early exit on convergence): a node
+    set and an edge list are exactly a doc set and a near-dup pair set.
+    Converges in O(component diameter) rounds; web graphs are
+    shallow-diameter, so the default bound is generous. Same shuffle
+    shape as one PageRank iteration per round."""
+    from .dedup import dup_clusters
+
+    nodes = graph_nodes(edges).select(F.col("node").alias("doc_id"))
+    pairs = edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    return dup_clusters(nodes, pairs, max_rounds=max_rounds).select(
+        F.col("doc_id").alias("node"),
+        F.col("cluster_id").alias("component"),
+        F.col("is_keeper").alias("is_rep"),
+    )
+
+
 def degree_stats(edges: DataFrame) -> DataFrame:
     """(node, out_degree, in_degree, degree): directed degree counts
     with zero-fill over the full node set. Two hash aggregates + two

@@ -165,6 +165,38 @@ def latest_snapshot(
     )
 
 
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Diff two crawl snapshots by content fingerprint:
+    (url, old_fp, new_fp, status) with status in
+    added / removed / changed / unchanged — the incremental-refresh
+    driver: only 'added'/'changed' pages re-enter the extract pipeline
+    and 'removed' retracts triples whose provenance is exclusively that
+    url, so a re-crawl costs O(delta), not O(corpus).
+
+    One full-outer equi-join on the url key (each side pre-collapsed by
+    :func:`latest_snapshot`, so keys are unique) + a codegen status
+    projection — a single shuffle; AQE handles any skewed key. At
+    10^12 rows both sides are bucketed by url in storage and the join
+    is co-located."""
+    o = old.select(F.col(key_col).alias(key_col), F.col(fp_col).alias("old_fp"))
+    n = new.select(F.col(key_col).alias(key_col), F.col(fp_col).alias("new_fp"))
+    return o.join(n, key_col, "full_outer").select(
+        key_col,
+        "old_fp",
+        "new_fp",
+        F.when(F.col("old_fp").isNull(), "added")
+        .when(F.col("new_fp").isNull(), "removed")
+        .when(F.col("old_fp") != F.col("new_fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
 def host_stats(df: DataFrame, host_col: str = "host", url_key_col: str | None = None) -> DataFrame:
     """Per-domain corpus statistics: document count, total/mean text
     chars, distinct page count (when ``url_key_col`` given). One hash

@@ -272,3 +272,30 @@ def test_harmonic_sketch_tracks_exact_and_validates_radius(spark):
         harmonic_centrality_sketch(e, radius=0)
     with pytest.raises(ValueError):
         harmonic_centrality(e, radius=0)
+
+
+def test_weakly_connected_components_on_hand_graph(spark):
+    """Two chains and an isolated-pair component; direction must not
+    matter (weak connectivity), component id = min node id, one rep
+    per component."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import (
+        weakly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # component {1,2,3} (3->2 reversed, still weakly connected),
+        # component {10, 11}, component {20, 21, 22} via a middle hub
+        [(1, 2), (3, 2), (10, 11), (21, 20), (21, 22)],
+        "src long, dst long",
+    )
+    got = {r.node: (r.component, r.is_rep) for r in weakly_connected_components(edges).collect()}
+    assert got == {
+        1: (1, 1), 2: (1, 0), 3: (1, 0),
+        10: (10, 1), 11: (10, 0),
+        20: (20, 1), 21: (20, 0), 22: (20, 0),
+    }
+    again = {
+        r.node: (r.component, r.is_rep)
+        for r in weakly_connected_components(edges.repartition(7)).collect()
+    }
+    assert again == got

@@ -324,3 +324,23 @@ def test_normalization_spark_duckdb_differential_fuzz(spark):
         (c, s, d) for c, s, d in zip(cases, spark_out, duck_out) if s != d
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_crawl_delta_statuses(spark):
+    """All four statuses; full-outer key coalescing; partitioning
+    invariance."""
+    from coap_rfc_knowledge_graph_spark.operators.webtext import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", "fa"), ("u2", "fb"), ("u3", "fc")], "url string, fingerprint string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "fa"), ("u2", "fb2"), ("u4", "fd")], "url string, fingerprint string"
+    )
+    got = {r.url: r.status for r in crawl_delta(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed", "u3": "removed", "u4": "added"}
+    again = {
+        r.url: r.status
+        for r in crawl_delta(old.repartition(5), new.repartition(3)).collect()
+    }
+    assert again == got
