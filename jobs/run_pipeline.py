@@ -117,6 +117,19 @@ def main() -> None:
         "stage (resumable like every other stage)",
     )
     ap.add_argument(
+        "--host-ranks",
+        type=int,
+        nargs="?",
+        const=4,
+        default=None,
+        metavar="ITERS",
+        help="also materialize host-level domain ranks: aggregate the "
+        "hyperlink graph to the weighted host graph and run weighted "
+        "fixed-point PageRank for ITERS iterations (default 4) as a "
+        "'host_ranks' stage (the Common-Crawl host-webgraph product); "
+        "implies --link-graph",
+    )
+    ap.add_argument(
         "--substring-dedup",
         type=int,
         nargs="?",
@@ -188,7 +201,9 @@ def main() -> None:
     else:
         pages = spark.read.parquet(args.pages)
 
-    if args.link_graph:
+    if args.host_ranks is not None and args.host_ranks < 1:
+        ap.error("--host-ranks ITERS must be >= 1")
+    if args.link_graph or args.host_ranks is not None:
         # from the RAW ingested pages: curation may rewrite text, but
         # the link graph is a property of the crawl itself
         from coap_rfc_knowledge_graph_spark.operators.html_extract import html_links
@@ -198,6 +213,20 @@ def main() -> None:
         lg_params = {"link_graph": True, "from_warc": bool(args.from_warc)}
         if not lg_store.has("link_graph", params=lg_params):
             lg_store.write(html_links(pages), "link_graph", inputs=["pages"], params=lg_params)
+        if args.host_ranks is not None:
+            from coap_rfc_knowledge_graph_spark.operators.webgraph import (
+                host_graph,
+                pagerank_weighted,
+            )
+
+            hr_params = {"host_ranks": True, "iterations": args.host_ranks}
+            if not lg_store.has("host_ranks", params=hr_params):
+                hg = host_graph(lg_store.read(spark, "link_graph"))
+                ranks = pagerank_weighted(
+                    hg, iterations=args.host_ranks,
+                    src_col="src_host", dst_col="dst_host",
+                ).withColumnRenamed("node", "host")
+                lg_store.write(ranks, "host_ranks", inputs=["link_graph"], params=hr_params)
 
     def apply_prepasses(pages):
         return _apply_prepasses(spark, pages, args, F)

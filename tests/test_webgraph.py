@@ -299,3 +299,74 @@ def test_weakly_connected_components_on_hand_graph(spark):
         for r in weakly_connected_components(edges.repartition(7)).collect()
     }
     assert again == got
+
+
+def test_job_host_ranks_stage(spark, tmp_path):
+    """--host-ranks materializes link_graph (implied) + host_ranks
+    stages: weighted host-level PageRank over the crawl's cross-host
+    links, equal to composing the operators directly."""
+    import os
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import html_links
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import (
+        host_graph,
+        pagerank_weighted,
+    )
+    from coap_rfc_knowledge_graph_spark.plans.checkpointing import StageStore
+
+    import datetime
+
+    rows = []
+    for i in range(6):
+        h = f"h{i % 3}.example"
+        html = (
+            f'<html><body><p>The server MUST send a response. Doc {i}.</p>'
+            f'<a href="https://h{(i + 1) % 3}.example/x">next</a>'
+            f'<a href="https://h{(i + 2) % 3}.example/y">other</a></body></html>'
+        )
+        rows.append(
+            (
+                f"https://{h}/p{i}",
+                datetime.datetime(2026, 1, 2, i),
+                html.encode(),
+                f"The server MUST send a response. Doc {i}.",
+                "en",
+            )
+        )
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+
+    out = str(tmp_path / "state")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+    )
+    import run_pipeline
+
+    old = sys.argv
+    try:
+        sys.argv = [
+            "run_pipeline.py", "--pages", src, "--out", out,
+            "--host-ranks", "2", "--url-partitions", "4",
+        ]
+        run_pipeline.main()
+    finally:
+        sys.argv = old
+
+    store = StageStore(out)
+    assert store.manifest("link_graph")["row_count"] == 12
+    got = {r.host: r.rank for r in store.read(spark, "host_ranks").collect()}
+    want = {
+        r.node: r.rank
+        for r in pagerank_weighted(
+            host_graph(html_links(pages)), iterations=2,
+            src_col="src_host", dst_col="dst_host",
+        ).collect()
+    }
+    assert got == want and set(got) == {"h0.example", "h1.example", "h2.example"}
+    assert all(v > 0 for v in got.values())
