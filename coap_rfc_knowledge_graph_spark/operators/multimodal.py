@@ -5,17 +5,21 @@ decode / feature-extract / resize / frame-sample are Arrow-batched
 pandas UDFs over ``mapInPandas``.
 
 The codec is REAL for every format decodable with the stdlib + numpy:
-PNG (zlib-inflated IDAT + all five scanline filters; gray / RGB /
-palette / RGBA at bit depths 1-16, non-interlaced), PPM/PGM (P5/P6, 8-
-and 16-bit), BMP (uncompressed 24/32-bit), and PCM WAV (8/16/32-bit,
-any channel count) all decode to numpy arrays in ``decode_backend``,
-with nearest-neighbor resize and deterministic content features (8x8
+baseline JPEG (Huffman + dequant + 8x8 IDCT, any chroma subsampling,
+restart intervals — ``functions/jpeg.py``), PNG (zlib-inflated IDAT +
+all five scanline filters; gray / RGB / palette / RGBA at bit depths
+1-16, non-interlaced), PPM/PGM (P5/P6, 8- and 16-bit), BMP
+(uncompressed 24/32-bit), and PCM WAV (8/16/32-bit, any channel count)
+all decode to numpy arrays in ``decode_backend`` — i.e. the two
+dominant crawled image formats decode with no external library — with
+nearest-neighbor resize and deterministic content features (8x8
 integer-luma thumbnail for images, windowed mean-|amplitude| envelope
-for audio) computed from the decoded pixels/samples. Formats that need
-an external codec library (JPEG/GIF/MP4 — not present in this
-container) raise ``NotImplementedError`` from the same dispatch point;
-plugging PIL/torchaudio/pyav into ``decode_backend`` extends coverage
-without touching any Spark plumbing.
+for audio) computed from the decoded pixels/samples. Formats that
+genuinely need an external codec library (GIF/MP4, progressive JPEG —
+not present in this container) raise ``NotImplementedError`` from the
+same dispatch point; plugging PIL/torchaudio/pyav into
+``decode_backend`` extends coverage without touching any Spark
+plumbing.
 
 Scale notes: binary payloads dominate row size — the ops below select
 ONLY (id, payload) into the Python worker (column pruning is explicit),
@@ -341,11 +345,17 @@ def _decode_wav(payload: bytes) -> np.ndarray:
 def decode_backend(payload: bytes, mime: str) -> np.ndarray:
     """Decode a media payload to a numpy array: (h, w[, c]) pixels for
     images, (n_frames, n_channels) int32 samples for audio. Real for
-    every format the stdlib can parse (PGM/PPM, uncompressed BMP, PCM
-    WAV); formats that need an external codec (JPEG/PNG/GIF/MP4) raise
+    every format stdlib + numpy can parse (PGM/PPM, uncompressed BMP,
+    PNG, baseline JPEG, PCM WAV) — i.e. the two dominant crawled image
+    formats decode with no external library; formats that genuinely
+    need an external codec (GIF/MP4, progressive JPEG) raise
     ``NotImplementedError`` — plug PIL/torchaudio/pyav in here."""
     if mime == "image/png":
         return _decode_png(payload)
+    if mime == "image/jpeg":
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if mime in ("image/x-portable-graymap", "image/x-portable-pixmap"):
         return _decode_pnm(payload)
     if mime == "image/bmp":
