@@ -8,18 +8,18 @@ The codec is REAL for every format decodable with the stdlib + numpy:
 baseline JPEG (Huffman + dequant + 8x8 IDCT, any chroma subsampling,
 restart intervals — ``functions/jpeg.py``), PNG (zlib-inflated IDAT +
 all five scanline filters; gray / RGB / palette / RGBA at bit depths
-1-16, non-interlaced), PPM/PGM (P5/P6, 8- and 16-bit), BMP
-(uncompressed 24/32-bit), and PCM WAV (8/16/32-bit, any channel count)
-all decode to numpy arrays in ``decode_backend`` — i.e. the two
-dominant crawled image formats decode with no external library — with
+1-16, non-interlaced), GIF (variable-width LZW, local/global palettes,
+interlacing — ``functions/gif.py``), PPM/PGM (P5/P6, 8- and 16-bit),
+BMP (uncompressed 24/32-bit), and PCM WAV (8/16/32-bit, any channel
+count) all decode to numpy arrays in ``decode_backend`` — every common
+crawled image format decodes with no external library — with
 nearest-neighbor resize and deterministic content features (8x8
 integer-luma thumbnail for images, windowed mean-|amplitude| envelope
 for audio) computed from the decoded pixels/samples. Formats that
-genuinely need an external codec library (GIF/MP4, progressive JPEG —
-not present in this container) raise ``NotImplementedError`` from the
-same dispatch point; plugging PIL/torchaudio/pyav into
-``decode_backend`` extends coverage without touching any Spark
-plumbing.
+genuinely need an external codec library (MP4, progressive JPEG — not
+present in this container) raise ``NotImplementedError`` from the same
+dispatch point; plugging PIL/torchaudio/pyav into ``decode_backend``
+extends coverage without touching any Spark plumbing.
 
 Scale notes: binary payloads dominate row size — the ops below select
 ONLY (id, payload) into the Python worker (column pruning is explicit),
@@ -346,9 +346,9 @@ def decode_backend(payload: bytes, mime: str) -> np.ndarray:
     """Decode a media payload to a numpy array: (h, w[, c]) pixels for
     images, (n_frames, n_channels) int32 samples for audio. Real for
     every format stdlib + numpy can parse (PGM/PPM, uncompressed BMP,
-    PNG, baseline JPEG, PCM WAV) — i.e. the two dominant crawled image
-    formats decode with no external library; formats that genuinely
-    need an external codec (GIF/MP4, progressive JPEG) raise
+    PNG, baseline JPEG, GIF, PCM WAV) — every common crawled image
+    format decodes with no external library; formats that genuinely
+    need an external codec (MP4, progressive JPEG) raise
     ``NotImplementedError`` — plug PIL/torchaudio/pyav in here."""
     if mime == "image/png":
         return _decode_png(payload)
@@ -356,6 +356,10 @@ def decode_backend(payload: bytes, mime: str) -> np.ndarray:
         from ..functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if mime == "image/gif":
+        from ..functions.gif import decode_gif
+
+        return decode_gif(payload)
     if mime in ("image/x-portable-graymap", "image/x-portable-pixmap"):
         return _decode_pnm(payload)
     if mime == "image/bmp":
