@@ -321,6 +321,23 @@ def q_media_features(spark, sf_dir):
     return extract_features(media).select("media_id", "mime", "n_bytes")
 
 
+def q_media_decode_features(spark, sf_dir):
+    """REAL multimodal decode end-to-end (rows-only by design — codec
+    output is not SQL-expressible): 64 genuinely encoded payloads (PPM/
+    PGM/BMP/WAV/PNG/JPEG/GIF round-robin) -> decode_backend -> content
+    features; full output is order-insensitive sha256-pinned in
+    tests/test_media_codec.py (DECODED_FEATURES_PIN, FIXTURES.md)."""
+    from coap_rfc_knowledge_graph_spark.operators.multimodal import (
+        extract_features,
+        synthetic_decodable_media,
+    )
+
+    media = synthetic_decodable_media(spark, 64)
+    return extract_features(media, dim=16, use_backend=True).select(
+        "media_id", "mime", "n_bytes"
+    )
+
+
 def q_html_main_content(spark, sf_dir):
     """jusText-lite block-level boilerplate removal over (url, html)
     pages synthesized deterministically from documents (rows-only by
@@ -1455,6 +1472,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
+        "media_decode_features": q_media_decode_features,
         "html_main_content": q_html_main_content,
         "unicode_normalize": q_unicode_normalize,
         "kg_negative_samples": q_kg_negative_samples,

@@ -485,17 +485,38 @@ def encode_wav(samples: np.ndarray, framerate: int = 8000) -> bytes:
 
 def synthetic_decodable_media(spark, n: int, seed: int = 11, partitions: int | None = None) -> DataFrame:
     """Seeded media table whose payloads are REAL encoded files (PPM,
-    PGM, BMP, WAV, PNG round-robin — the PNG rows sweep all five
-    scanline filters) — exercises the actual codec end-to-end, unlike
-    :func:`synthetic_media` whose bodies are opaque noise."""
+    PGM, BMP, WAV, PNG, JPEG, GIF round-robin — the PNG rows sweep all
+    five scanline filters, the JPEG rows alternate 4:4:4/4:2:0, the GIF
+    rows alternate interlacing) — exercises the actual codec end-to-end,
+    unlike :func:`synthetic_media` whose bodies are opaque noise."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.gif import encode_gif
+        from ..functions.jpeg import encode_jpeg
+
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 rng = np.random.Generator(np.random.Philox(key=int(i) + seed))
-                ki = int(i) % 6
-                if ki >= 4:
+                ki = int(i) % 8
+                if ki == 6:
+                    h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+                    shape = (h, w, 3) if int(i) % 2 else (h, w)
+                    payload = encode_jpeg(
+                        rng.integers(0, 256, size=shape, dtype=np.uint8),
+                        quality=85,
+                        subsample=bool(int(i) % 2),
+                    )
+                    kind, dims, dur = "image", (w, h), 0
+                elif ki == 7:
+                    h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+                    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+                    payload = encode_gif(
+                        pal[rng.integers(0, 8, size=(h, w))],
+                        interlace=bool(int(i) % 2),
+                    )
+                    kind, dims, dur = "image", (w, h), 0
+                elif ki >= 4:
                     h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
                     shape = (h, w, 3) if ki == 4 else (h, w)
                     payload = encode_png(

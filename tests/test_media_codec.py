@@ -38,9 +38,10 @@ from coap_rfc_knowledge_graph_spark.operators.multimodal import (  # noqa: E402
     synthetic_decodable_media,
 )
 
-# pinned round 4 (local[3] == local[8]; dim=16 features over the
-# 48-row seeded decodable table)
-DECODED_FEATURES_PIN = (48, "b946c0717c8308e83bfdb0eea0f8da91a8c063c986dd10b6508dbb2d177b2149")
+# pinned round 5 (dim=16 features over the 48-row seeded decodable
+# table; recomputed when the generator gained JPEG/GIF rows — see
+# FIXTURES.md)
+DECODED_FEATURES_PIN = (48, "17352d7ee01b8063861fb567e254033fc373d81d79f51f79265ffdd184c2d2bf")
 
 
 def test_ppm_pgm_roundtrip_exact():
@@ -151,6 +152,8 @@ def test_spark_real_decode_partitioning_invariant_and_pinned(spark):
         "image/bmp",
         "audio/wav",
         "image/png",
+        "image/jpeg",
+        "image/gif",
     }
     media.unpersist()
 
