@@ -598,3 +598,64 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("container_duration_ms", T.LongType()),
+        T.StructField("track_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("track_duration_ms", T.LongType()),
+    ]
+)
+
+
+def video_metadata(media: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """REAL MP4/MOV container metadata, one row per TRACK: brand,
+    durations, handler kind, codec fourcc, dimensions, sample counts —
+    parsed from the box tree by ``functions/mp4.py`` with no external
+    library (frame DECODE stays the documented env stub; the container
+    facts are what curation filters and the ``sample_video_frames``
+    fan-out actually consume). Non-MP4 or unparseable payloads yield
+    no rows. Arrow-batched mapInPandas over the column-pruned
+    (id, payload) projection."""
+    from ..functions.mp4 import parse_mp4
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_META_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                if sniff_mime(payload) != "video/mp4":
+                    continue
+                try:
+                    meta = parse_mp4(payload)
+                except (ValueError, struct.error):
+                    continue
+                for t in meta["tracks"]:
+                    rows.append(
+                        (
+                            int(mid),
+                            meta["brand"],
+                            meta["duration_ms"],
+                            t["track_id"],
+                            t["kind"],
+                            t["codec"],
+                            t["width"],
+                            t["height"],
+                            t["n_samples"],
+                            t["duration_ms"],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    pruned = media.select(id_col, payload_col)
+    return pruned.mapInPandas(fn, VIDEO_META_SCHEMA)

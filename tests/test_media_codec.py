@@ -401,3 +401,60 @@ def test_gif_roundtrip_palette_growth_interlace_overflow():
 
     with pytest.raises(ValueError, match="signature"):
         decode_gif(b"NOTAGIF")
+
+
+def test_mp4_container_parse_roundtrip_and_spark():
+    """ISO BMFF container metadata is REAL (functions/mp4.py): the
+    fixture builder's box tree parses back to the exact movie/track
+    facts; frame decode stays the documented stub."""
+    from coap_rfc_knowledge_graph_spark.functions.mp4 import build_mp4, parse_mp4
+
+    p = build_mp4(duration_ms=4000, video=(640, 360, 120), audio_samples=172)
+    assert sniff_mime(p) == "video/mp4"
+    meta = parse_mp4(p)
+    assert meta["brand"] == "isom" and meta["duration_ms"] == 4000
+    v, a = meta["tracks"]
+    assert (v["kind"], v["codec"], v["width"], v["height"], v["n_samples"]) == (
+        "video", "avc1", 640, 360, 120,
+    )
+    assert (a["kind"], a["codec"], a["n_samples"]) == ("audio", "mp4a", 172)
+    # 90kHz timescale + audio-only + other brand
+    m2 = parse_mp4(build_mp4(duration_ms=90_000, timescale=90_000, video=None,
+                             audio_samples=9000, brand=b"mp42"))
+    assert m2["brand"] == "mp42" and m2["duration_ms"] == 90_000
+    assert len(m2["tracks"]) == 1 and m2["tracks"][0]["kind"] == "audio"
+    with pytest.raises(ValueError, match="moov"):
+        parse_mp4(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)
+
+
+def test_spark_video_metadata_tracks(spark):
+    """video_metadata over a mixed table: MP4 rows expand to one row
+    per track with real container facts; non-MP4 rows contribute no
+    rows; partitioning invariant."""
+    from coap_rfc_knowledge_graph_spark.functions.gif import encode_gif
+    from coap_rfc_knowledge_graph_spark.functions.mp4 import build_mp4
+    from coap_rfc_knowledge_graph_spark.operators.multimodal import video_metadata
+
+    rows = [
+        (0, build_mp4(duration_ms=2000, video=(320, 240, 48))),
+        (1, build_mp4(duration_ms=61_000, video=(1920, 1080, 1830), audio_samples=2928)),
+        (2, encode_gif(np.zeros((4, 4), dtype=np.uint8))),  # not a video
+        (3, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = sorted(
+        (r.media_id, r.track_id, r.kind, r.codec, r.width, r.height,
+         r.n_samples, r.container_duration_ms)
+        for r in video_metadata(media).collect()
+    )
+    assert got == [
+        (0, 1, "video", "avc1", 320, 240, 48, 2000),
+        (1, 1, "video", "avc1", 1920, 1080, 1830, 61000),
+        (1, 2, "audio", "mp4a", 0, 0, 2928, 61000),
+    ]
+    again = sorted(
+        (r.media_id, r.track_id, r.kind, r.codec, r.width, r.height,
+         r.n_samples, r.container_duration_ms)
+        for r in video_metadata(media.repartition(3)).collect()
+    )
+    assert again == got
