@@ -227,3 +227,65 @@ def test_substring_dedup_single_chunk_evaluation(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Generate") <= 1, p          # one token explode, not two
     assert "Sort [" not in p.replace("Sort [doc_id", ""), p  # only per-doc sorts
+
+
+def test_robots_filter_broadcasts_rules_and_has_no_window(spark):
+    """The robots gate must stay corpus-linear: rules side broadcast
+    (it's host-keyed and tiny), the longest-prefix verdict via max_by
+    aggregation — never a Window over the pages table."""
+    from coap_rfc_knowledge_graph_spark.operators.robots import robots_filter
+
+    pages = spark.range(200).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 9).cast("string"),
+            F.lit(".example/p"), F.col("id").cast("string"),
+        ).alias("url")
+    )
+    rules = spark.createDataFrame(
+        [("h1.example", False, "/p1"), ("h2.example", True, "/p")],
+        "host string, allow boolean, path_prefix string",
+    )
+    p = plan_str(robots_filter(pages, rules))
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_host_graph_is_one_aggregate_no_python(spark):
+    """host_graph = one codegen projection + one partial-aggregating
+    hash aggregate: no UDF, no window, exactly one shuffle, and the
+    shuffle carries (host, host) pairs after map-side partial combine
+    (HashAggregate appears both below and above the exchange)."""
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import host_graph
+
+    edges = spark.range(500).select(
+        F.concat(F.lit("https://a"), (F.col("id") % 7).cast("string"), F.lit(".example/x")).alias("src"),
+        F.concat(F.lit("https://b"), (F.col("id") % 5).cast("string"), F.lit(".example/y")).alias("dst"),
+    )
+    p = plan_str(host_graph(edges))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "Window" not in p
+    # formatted explain mentions each node twice (tree line + detail
+    # block): exactly one Exchange, two HashAggregates (partial below
+    # the shuffle, final above)
+    assert p.count("Exchange") == 2
+    assert p.count("HashAggregate") == 4
+
+
+def test_crawl_delta_single_join_no_python(spark):
+    """crawl_delta is one full-outer SortMergeJoin/ShuffledHashJoin on
+    the url key plus codegen status — no UDF, no window, no extra
+    evaluation of either snapshot."""
+    from coap_rfc_knowledge_graph_spark.operators.webtext import crawl_delta
+
+    old = spark.range(100).select(
+        F.col("id").cast("string").alias("url"), F.md5(F.col("id").cast("string")).alias("fingerprint")
+    )
+    new = spark.range(100).select(
+        F.col("id").cast("string").alias("url"),
+        F.md5(F.concat(F.col("id").cast("string"), F.lit("x"))).alias("fingerprint"),
+    )
+    p = plan_str(crawl_delta(old, new))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "Window" not in p
+    assert "FullOuter" in p
