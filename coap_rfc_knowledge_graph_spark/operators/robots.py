@@ -126,8 +126,16 @@ def robots_filter(
     corpus-wide window, no UDF."""
     from .webtext import url_parts
 
-    u = url_parts(pages.select(F.col(url_col).alias("url")).distinct(), "url").select(
-        "url", "host", F.when(F.col("path") == "", "/").otherwise(F.col("path")).alias("__path")
+    # consumed twice (matched + the zero-fill join-back): truncate the
+    # lineage so the distinct's shuffle evaluates once (the repo's
+    # recurring double-eval class)
+    u = (
+        url_parts(pages.select(F.col(url_col).alias("url")).distinct(), "url")
+        .select(
+            "url", "host",
+            F.when(F.col("path") == "", "/").otherwise(F.col("path")).alias("__path"),
+        )
+        .localCheckpoint(eager=False)
     )
     matched = (
         u.join(rules, on="host")
