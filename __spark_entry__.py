@@ -338,6 +338,41 @@ def q_media_decode_features(spark, sf_dir):
     )
 
 
+def q_video_track_metadata(spark, sf_dir):
+    """REAL ISO-BMFF container parse (rows-only by design — the box
+    walk is not SQL-expressible): deterministic MP4 fixtures built per
+    doc_id -> one row per track with brand/kind/codec/dimensions/
+    sample counts; exact values pytest-pinned in
+    tests/test_media_codec.py::test_spark_video_metadata_tracks."""
+    from pyspark.sql import types as T
+
+    from coap_rfc_knowledge_graph_spark.operators.multimodal import video_metadata
+
+    def gen(it):
+        import pandas as pd
+
+        from coap_rfc_knowledge_graph_spark.functions.mp4 import build_mp4
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                payload = build_mp4(
+                    duration_ms=1000 + (i % 60) * 500,
+                    video=(320 + (i % 4) * 160, 180 + (i % 4) * 90, 24 * (1 + i % 3)),
+                    audio_samples=(i % 2) * 441,
+                )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
+    media = docs.mapInPandas(
+        gen, T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    )
+    return video_metadata(media)
+
+
 def q_html_main_content(spark, sf_dir):
     """jusText-lite block-level boilerplate removal over (url, html)
     pages synthesized deterministically from documents (rows-only by
@@ -1473,6 +1508,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "media_decode_features": q_media_decode_features,
+        "video_track_metadata": q_video_track_metadata,
         "html_main_content": q_html_main_content,
         "unicode_normalize": q_unicode_normalize,
         "kg_negative_samples": q_kg_negative_samples,
