@@ -117,6 +117,25 @@ def main() -> None:
         "stage (resumable like every other stage)",
     )
     ap.add_argument(
+        "--robots",
+        metavar="ROBOTS_PARQUET",
+        default=None,
+        help="RFC 9309 compliance gate: drop pages disallowed by this "
+        "(host, payload) robots.txt table BEFORE any other pre-pass "
+        "(a pipeline must not process content it may not fetch); "
+        "longest-prefix-match, Allow wins ties, hosts with no rules "
+        "are allowed",
+    )
+    ap.add_argument(
+        "--delta-against",
+        metavar="OLD_SNAPSHOT",
+        default=None,
+        help="incremental re-crawl: keep only pages whose content "
+        "fingerprint is new or changed relative to this previous "
+        "(url, text) snapshot, so the run costs O(delta) not "
+        "O(corpus); removed urls are reported, not processed",
+    )
+    ap.add_argument(
         "--host-ranks",
         type=int,
         nargs="?",
@@ -233,6 +252,8 @@ def main() -> None:
 
     prepass_active = (
         args.url_curation
+        or args.robots is not None
+        or args.delta_against is not None
         or args.html_extract
         or args.normalize_unicode is not None
         or args.clean
@@ -259,30 +280,31 @@ def main() -> None:
         if args.domain_blocklist:
             with open(args.domain_blocklist, "rb") as fh:
                 blocklist_digest = hashlib.sha256(fh.read()).hexdigest()
-        lm_reference_digest = None
-        if args.lm_reference:
-            # content-key the reference table like the blocklist: a
-            # reference rewritten IN PLACE must recompute the selection,
-            # not silently reuse the stale snapshot. Hashing data files'
+        def _table_digest(path: str | None) -> str | None:
+            # content-key side-input tables like the blocklist: a table
+            # rewritten IN PLACE must recompute the snapshot, not
+            # silently reuse a stale one. Hashing data files'
             # (name, size, mtime_ns) is cheap at any table size and
             # changes on any rewrite.
+            if not path:
+                return None
             import os
 
             entries = []
-            if os.path.isdir(args.lm_reference):
-                for root, _, files in os.walk(args.lm_reference):
+            if os.path.isdir(path):
+                for root, _, files in os.walk(path):
                     for f in sorted(files):
                         p = os.path.join(root, f)
                         st = os.stat(p)
                         entries.append(
-                            f"{os.path.relpath(p, args.lm_reference)}\x1f{st.st_size}\x1f{st.st_mtime_ns}"
+                            f"{os.path.relpath(p, path)}\x1f{st.st_size}\x1f{st.st_mtime_ns}"
                         )
             else:
-                st = os.stat(args.lm_reference)
+                st = os.stat(path)
                 entries.append(f".\x1f{st.st_size}\x1f{st.st_mtime_ns}")
-            lm_reference_digest = hashlib.sha256(
-                "\x1e".join(sorted(entries)).encode()
-            ).hexdigest()
+            return hashlib.sha256("\x1e".join(sorted(entries)).encode()).hexdigest()
+
+        lm_reference_digest = _table_digest(args.lm_reference)
         prepass_params = {
             "url_curation": bool(args.url_curation),
             # from_warc changes the INPUT DATA, not just a transform:
@@ -303,6 +325,10 @@ def main() -> None:
             "lm_select_permille": args.lm_select_permille,
             "lm_reference": args.lm_reference,
             "lm_reference_sha256": lm_reference_digest,
+            "robots": args.robots,
+            "robots_sha256": _table_digest(args.robots),
+            "delta_against": args.delta_against,
+            "delta_against_sha256": _table_digest(args.delta_against),
         }
         store0 = StageStore(args.out)
         if store0.has("curated_pages", params=prepass_params):
@@ -325,6 +351,34 @@ def main() -> None:
 
 
 def _apply_prepasses(spark, pages, args, F):
+    if getattr(args, "robots", None):
+        # compliance FIRST: nothing downstream may see disallowed pages
+        from coap_rfc_knowledge_graph_spark.operators.robots import (
+            parse_robots,
+            robots_filter,
+        )
+
+        rules = parse_robots(spark.read.parquet(args.robots))
+        pages = (
+            robots_filter(pages, rules)
+            .filter(F.col("robots_allowed"))
+            .drop("robots_allowed")
+        )
+    if getattr(args, "delta_against", None):
+        # O(delta) re-crawl: only new/changed content re-enters the
+        # pipeline (fingerprint = md5 of the text bytes; the old
+        # snapshot needs (url, text))
+        from coap_rfc_knowledge_graph_spark.operators.webtext import crawl_delta
+
+        fp = lambda df: df.select(  # noqa: E731
+            "url", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fingerprint")
+        )
+        keep = (
+            crawl_delta(fp(spark.read.parquet(args.delta_against)), fp(pages))
+            .filter(F.col("status").isin("added", "changed"))
+            .select("url")
+        )
+        pages = pages.join(keep, "url")
     if args.url_curation:
         from coap_rfc_knowledge_graph_spark.operators.webtext import curate_urls
 

@@ -118,3 +118,49 @@ def test_script_profile_blocks_and_ties(spark):
     assert got[3].main_script == "latin" and got[3].n_arabic == 5
     assert got[4].main_script == "none"
     assert got[5].main_script == "none"
+
+
+def test_job_robots_and_delta_prepasses(spark, tmp_path):
+    """--robots drops disallowed pages first; --delta-against keeps only
+    new/changed content — composed, the job re-processes exactly the
+    allowed delta."""
+    import argparse
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+    )
+    import run_pipeline
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("https://a.example/p/1", None, "unchanged text", "en"),
+        ("https://a.example/p/2", None, "changed text NEW", "en"),
+        ("https://a.example/p/3", None, "brand new page", "en"),
+        ("https://b.example/blocked/1", None, "disallowed but new", "en"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string, lang string")
+
+    robots_dir = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("b.example", b"User-agent: *\nDisallow: /blocked\n")], "host string, payload binary"
+    ).write.parquet(robots_dir)
+
+    old_dir = str(tmp_path / "old")
+    spark.createDataFrame(
+        [("https://a.example/p/1", "unchanged text"),
+         ("https://a.example/p/2", "changed text OLD"),
+         ("https://a.example/p/9", "removed page")],
+        "url string, text string",
+    ).write.parquet(old_dir)
+
+    args = argparse.Namespace(
+        url_curation=False, pii_redact=False, paragraph_dedup=False, line_dedup=False,
+        clean=False, decontaminate=None, lm_select_permille=None, lm_reference=None,
+        robots=robots_dir, delta_against=old_dir,
+    )
+    out = sorted(
+        r.url for r in run_pipeline._apply_prepasses(spark, pages, args, F).collect()
+    )
+    # p/1 unchanged -> dropped; p/2 changed + p/3 added -> kept;
+    # b.example/blocked/1 is new but robots-disallowed -> dropped
+    assert out == ["https://a.example/p/2", "https://a.example/p/3"]
