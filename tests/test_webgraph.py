@@ -370,3 +370,20 @@ def test_job_host_ranks_stage(spark, tmp_path):
     }
     assert got == want and set(got) == {"h0.example", "h1.example", "h2.example"}
     assert all(v > 0 for v in got.values())
+
+
+def test_harmonic_exact_guards_pair_explosion(spark):
+    """The exact form refuses graphs above max_edges (the pair set is
+    quadratic-ish in radius) and points to the sketch; an explicit
+    larger limit opts in."""
+    import pytest
+
+    from coap_rfc_knowledge_graph_spark.operators.webgraph import (
+        harmonic_centrality,
+        synthetic_web_edges,
+    )
+
+    e = synthetic_web_edges(spark, 3_000, seed=5)
+    with pytest.raises(ValueError, match="harmonic_centrality_sketch"):
+        harmonic_centrality(e, radius=2, max_edges=100)
+    assert harmonic_centrality(e, radius=2, max_edges=1_000_000).count() > 0
