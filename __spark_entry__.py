@@ -1122,6 +1122,39 @@ def q_weburl_domain_filter(spark, sf_dir):
     return kept.select("doc_id", "host")
 
 
+def q_html_head_meta(spark, sf_dir):
+    """Head-metadata extraction (title / rel=canonical / og / meta
+    description / html lang) over a deterministic page skeleton — the
+    canonical-URL duplicate-collapse signal. The skeleton is simple
+    enough that the parser's full output is SQL-reconstructible, so
+    this is hash-verified like web_link_graph."""
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import html_head_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"), F.lit(".example/p/"),
+        d.cast("string"), F.lit("?ref=x"),
+    )
+    canon = F.when(
+        d % 3 == 0,
+        F.concat(F.lit('<link rel="canonical" href="/c/'), (d % 50).cast("string"), F.lit('">')),
+    ).otherwise(F.lit(""))
+    og = F.when(
+        d % 2 == 0,
+        F.concat(F.lit('<meta property="og:url" content="https://og.example/'),
+                 (d % 10).cast("string"), F.lit('">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html lang="en"><head><title>Doc '), d.cast("string"),
+        F.lit(" - "), F.col("source"), F.lit("</title>"), canon, og,
+        F.lit('<meta name="description" content="summary '), (d % 5).cast("string"),
+        F.lit('"></head><body><p>body</p></body></html>'),
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return html_head_meta(pages)
+
+
 def q_crawl_delta(spark, sf_dir):
     """Snapshot diff driving incremental re-crawl: old snapshot drops
     doc_id%10==7 (-> added in new), new drops doc_id%10==3 (-> removed),
@@ -1544,6 +1577,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic": q_graph_harmonic,
         "graph_components": q_graph_components,
         "crawl_delta": q_crawl_delta,
+        "html_head_meta": q_html_head_meta,
         "token_budget": q_token_budget,
         "mixture_rates": q_mixture_rates,
         "kmeans_clusters": q_kmeans_clusters,
@@ -2467,6 +2501,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank_weighted": _pagerank_weighted_sql(iterations=3),
         "graph_harmonic": _harmonic_sql(radius=2),
+        "html_head_meta": """
+            SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+                     || CAST(doc_id AS VARCHAR) || '?ref=x' AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source AS title,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+                             || '.example/c/' || CAST(doc_id % 50 AS VARCHAR)
+                        END AS canonical_url,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'https://og.example/' || CAST(doc_id % 10 AS VARCHAR)
+                        END AS og_url,
+                   CAST(NULL AS VARCHAR) AS og_title,
+                   'summary ' || CAST(doc_id % 5 AS VARCHAR) AS description,
+                   'en' AS html_lang
+            FROM documents
+        """,
         "crawl_delta": """
             WITH u AS (
               SELECT doc_id,

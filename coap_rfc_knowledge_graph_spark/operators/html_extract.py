@@ -419,3 +419,121 @@ def synthetic_html_pages(docs: DataFrame, id_col: str = "doc_id", text_col: str 
         F.concat(F.lit("https://synth.example/"), F.col(id_col).cast("string")).alias("url"),
         F.encode(page, "UTF-8").alias("html"),
     )
+
+
+class _HeadParser(HTMLParser):
+    """Head/metadata extractor: first <title> text, first
+    <link rel="canonical" href>, og:url / og:title properties, meta
+    description, and the <html lang> attribute. First occurrence wins
+    throughout (crawled pages duplicate tags; browsers honor the
+    first). Scans the whole document — crawls put og tags in the body
+    too — but never collects visible text, so it stays cheap."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: str | None = None
+        self.canonical: str | None = None
+        self.og_url: str | None = None
+        self.og_title: str | None = None
+        self.description: str | None = None
+        self.html_lang: str | None = None
+        self._in_title = False
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = dict(attrs)
+        if tag == "html" and self.html_lang is None and a.get("lang"):
+            self.html_lang = a["lang"].strip().lower()
+        elif tag == "title":
+            self._in_title = self.title is None
+            if self._in_title:
+                self.title = ""
+        elif tag == "link":
+            if (
+                self.canonical is None
+                and (a.get("rel") or "").strip().lower() == "canonical"
+                and a.get("href")
+            ):
+                self.canonical = a["href"].strip()
+        elif tag == "meta":
+            prop = (a.get("property") or a.get("name") or "").strip().lower()
+            content = a.get("content")
+            if content is None:
+                return
+            if prop == "og:url" and self.og_url is None:
+                self.og_url = content.strip()
+            elif prop == "og:title" and self.og_title is None:
+                self.og_title = content.strip()
+            elif prop == "description" and self.description is None:
+                self.description = content.strip()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title":
+            self._in_title = False
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self.title = ((self.title or "") + data).strip()
+
+
+def parse_head_meta(html: bytes | str | None) -> dict:
+    """One page -> head-metadata dict. Pure function."""
+    empty = {"title": None, "canonical": None, "og_url": None,
+             "og_title": None, "description": None, "html_lang": None}
+    if html is None:
+        return empty
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _HeadParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return empty
+    return {"title": p.title or None, "canonical": p.canonical,
+            "og_url": p.og_url, "og_title": p.og_title,
+            "description": p.description, "html_lang": p.html_lang}
+
+
+HEAD_META_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("canonical_url", T.StringType()),
+        T.StructField("og_url", T.StringType()),
+        T.StructField("og_title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("html_lang", T.StringType()),
+    ]
+)
+
+
+def html_head_meta(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """pages -> per-page head metadata: (url, title, canonical_url,
+    og_url, og_title, description, html_lang), with rel=canonical
+    resolved against the page url (urljoin, fragments dropped, non-
+    http(s) results nulled) — the signal that collapses syndicated /
+    parameterized duplicates BEFORE any content hashing: group by
+    ``coalesce(canonical_url, url)`` and feed ``webtext.
+    latest_snapshot``. Column-pruned mapInPandas, one streaming parse
+    per page, no visible-text collection."""
+    from urllib.parse import urldefrag, urljoin
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in HEAD_META_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                m = parse_head_meta(html)
+                canon = None
+                if m["canonical"]:
+                    try:
+                        canon = urldefrag(urljoin(url or "", m["canonical"])).url
+                    except ValueError:
+                        canon = None
+                    if canon and not canon.startswith(("http://", "https://")):
+                        canon = None
+                rows.append((url, m["title"], canon, m["og_url"], m["og_title"],
+                             m["description"], m["html_lang"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select(url_col, html_col).mapInPandas(fn, HEAD_META_SCHEMA)

@@ -278,3 +278,56 @@ def test_remove_spans_preserves_untouched_doc_bytes(spark):
     out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, p=4, min_span=20).collect()}
     assert out[2]["text_kept"] == untouched and out[2]["n_removed"] == 0
     assert out[0]["n_removed"] >= 20 and "\n" not in out[0]["text_kept"]
+
+
+def test_parse_head_meta_first_wins_and_lenient():
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import parse_head_meta
+
+    html = (
+        '<html lang="EN-us"><head><title>First &amp; Best</title>'
+        '<link rel="canonical" href="/canon?x=1#frag">'
+        '<meta property="og:url" content="https://og.example/page">'
+        '<meta property="og:title" content="OG Title">'
+        '<meta name="description" content="  a summary  ">'
+        '<title>Second</title>'
+        '<link rel="canonical" href="/other"></head>'
+        '<body><meta property="og:url" content="https://late.example"></body></html>'
+    )
+    m = parse_head_meta(html.encode())
+    assert m["title"] == "First & Best"
+    assert m["canonical"] == "/canon?x=1#frag"
+    assert m["og_url"] == "https://og.example/page"  # first wins
+    assert m["og_title"] == "OG Title"
+    assert m["description"] == "a summary"
+    assert m["html_lang"] == "en-us"
+    # leniency: None, garbage, invalid utf-8
+    assert parse_head_meta(None)["title"] is None
+    assert parse_head_meta(b"\xff\xfe<<<not html")["canonical"] is None
+
+
+def test_html_head_meta_resolves_canonical(spark):
+    from coap_rfc_knowledge_graph_spark.operators.html_extract import html_head_meta
+
+    rows = [
+        ("https://a.example/p/1?utm_source=x",
+         b'<head><link rel="canonical" href="/p/1"><title>T1</title></head>'),
+        ("https://a.example/p/2",
+         b'<head><link rel="canonical" href="ftp://bad.example/x"></head>'),
+        ("https://a.example/p/3", b"<head><title>T3</title></head>"),
+        ("https://a.example/p/4", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: (r.canonical_url, r.title) for r in html_head_meta(pages).collect()}
+    assert got["https://a.example/p/1?utm_source=x"] == ("https://a.example/p/1", "T1")
+    assert got["https://a.example/p/2"] == (None, None)  # non-http(s) nulled
+    assert got["https://a.example/p/3"] == (None, "T3")
+    assert got["https://a.example/p/4"] == (None, None)
+    # canonical-collapse composition: group by coalesce(canonical, url)
+    from pyspark.sql import functions as F
+
+    keys = html_head_meta(pages).select(
+        F.coalesce("canonical_url", "url").alias("k")
+    ).distinct()
+    assert keys.count() == 4  # p/1's tracking variant collapses onto /p/1
+    again = {r.url: (r.canonical_url, r.title) for r in html_head_meta(pages.repartition(3)).collect()}
+    assert again == got
