@@ -127,6 +127,14 @@ def main() -> None:
         "are allowed",
     )
     ap.add_argument(
+        "--canonical-collapse",
+        action="store_true",
+        help="collapse pages onto their rel=canonical target: group by "
+        "coalesce(canonical_url, url) keeping the max-(warc_ts, url) "
+        "row — removes syndicated / tracking-parameter duplicates "
+        "BEFORE any content hashing; runs right after the robots gate",
+    )
+    ap.add_argument(
         "--delta-against",
         metavar="OLD_SNAPSHOT",
         default=None,
@@ -253,6 +261,7 @@ def main() -> None:
     prepass_active = (
         args.url_curation
         or args.robots is not None
+        or args.canonical_collapse
         or args.delta_against is not None
         or args.html_extract
         or args.normalize_unicode is not None
@@ -327,6 +336,7 @@ def main() -> None:
             "lm_reference_sha256": lm_reference_digest,
             "robots": args.robots,
             "robots_sha256": _table_digest(args.robots),
+            "canonical_collapse": bool(args.canonical_collapse),
             "delta_against": args.delta_against,
             "delta_against_sha256": _table_digest(args.delta_against),
         }
@@ -364,6 +374,25 @@ def _apply_prepasses(spark, pages, args, F):
             .filter(F.col("robots_allowed"))
             .drop("robots_allowed")
         )
+    if getattr(args, "canonical_collapse", False):
+        # one row per canonical target: syndicated / tracking-parameter
+        # variants collapse BEFORE any content hashing, via the same
+        # packed-struct max aggregate as re-crawl collapse (no window)
+        from coap_rfc_knowledge_graph_spark.operators.html_extract import html_head_meta
+        from coap_rfc_knowledge_graph_spark.operators.webtext import latest_snapshot
+
+        original_cols = list(pages.columns)
+        canon = html_head_meta(pages).select("url", "canonical_url")
+        keyed = (
+            pages.join(canon, "url", "left")
+            .withColumn("__ckey", F.coalesce("canonical_url", "url"))
+            .drop("canonical_url")
+        )
+        order = tuple(c for c in ("warc_ts",) if c in original_cols) + ("url",)
+        payload = tuple(c for c in original_cols if c not in order)
+        pages = latest_snapshot(
+            keyed, key_col="__ckey", order_cols=order, payload_cols=payload
+        ).select(*original_cols)
     if getattr(args, "delta_against", None):
         # O(delta) re-crawl: only new/changed content re-enters the
         # pipeline (fingerprint = md5 of the text bytes; the old

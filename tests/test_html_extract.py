@@ -331,3 +331,44 @@ def test_html_head_meta_resolves_canonical(spark):
     assert keys.count() == 4  # p/1's tracking variant collapses onto /p/1
     again = {r.url: (r.canonical_url, r.title) for r in html_head_meta(pages.repartition(3)).collect()}
     assert again == got
+
+
+def test_job_canonical_collapse_prepass(spark):
+    """--canonical-collapse keeps one row per canonical target (the
+    latest by warc_ts), pages without a canonical pass through."""
+    import argparse
+    import datetime
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+    )
+    import run_pipeline
+    from pyspark.sql import functions as F
+
+    def page(url, canon, ts):
+        link = f'<link rel="canonical" href="{canon}">' if canon else ""
+        html = f"<head>{link}</head><body>x</body>".encode()
+        return (url, datetime.datetime(2026, 1, ts), html, f"text of {url}", "en")
+
+    rows = [
+        page("https://a.example/p?utm_source=x", "/p", 1),
+        page("https://a.example/p", "/p", 2),       # later crawl of the target wins
+        page("https://a.example/q?ref=1", "/q", 3),  # only variant -> still one row
+        page("https://a.example/solo", None, 4),     # no canonical: passes through
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    args = argparse.Namespace(
+        url_curation=False, pii_redact=False, paragraph_dedup=False, line_dedup=False,
+        clean=False, decontaminate=None, lm_select_permille=None, lm_reference=None,
+        canonical_collapse=True,
+    )
+    out = run_pipeline._apply_prepasses(spark, pages, args, F)
+    assert sorted(out.columns) == sorted(pages.columns)
+    got = sorted((r.url, r.text) for r in out.collect())
+    assert got == [
+        ("https://a.example/p", "text of https://a.example/p"),
+        ("https://a.example/q?ref=1", "text of https://a.example/q?ref=1"),
+        ("https://a.example/solo", "text of https://a.example/solo"),
+    ]
