@@ -46,8 +46,6 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
     while len(out) < n_pixels:
         while nbits < width:
             if pos >= len(data):
-                # truncated stream: return what decoded (lenient, like
-                # browsers) — callers get a short-pixel error below
                 raise ValueError("truncated GIF LZW stream")
             buf |= data[pos] << nbits
             nbits += 8
