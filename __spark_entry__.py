@@ -325,8 +325,9 @@ def q_media_decode_features(spark, sf_dir):
     """REAL multimodal decode end-to-end (rows-only by design — codec
     output is not SQL-expressible): 64 genuinely encoded payloads (PPM/
     PGM/BMP/WAV/PNG/JPEG/GIF round-robin) -> decode_backend -> content
-    features; full output is order-insensitive sha256-pinned in
-    tests/test_media_codec.py (DECODED_FEATURES_PIN, FIXTURES.md)."""
+    features. The same generator + feature definition is order-
+    insensitive sha256-pinned at n=48 in tests/test_media_codec.py
+    (DECODED_FEATURES_PIN, history in FIXTURES.md)."""
     from coap_rfc_knowledge_graph_spark.operators.multimodal import (
         extract_features,
         synthetic_decodable_media,
@@ -342,8 +343,9 @@ def q_video_track_metadata(spark, sf_dir):
     """REAL ISO-BMFF container parse (rows-only by design — the box
     walk is not SQL-expressible): deterministic MP4 fixtures built per
     doc_id -> one row per track with brand/kind/codec/dimensions/
-    sample counts; exact values pytest-pinned in
-    tests/test_media_codec.py::test_spark_video_metadata_tracks."""
+    sample counts; the operator's exact per-track values are asserted
+    on hand fixtures in tests/test_media_codec.py::
+    test_spark_video_metadata_tracks (roundtrip vs build_mp4)."""
     from pyspark.sql import types as T
 
     from coap_rfc_knowledge_graph_spark.operators.multimodal import video_metadata
