@@ -558,11 +558,17 @@ FEATURES_SCHEMA = T.StructType(
 
 def extract_features(media: DataFrame, dim: int = 32, use_backend: bool = False) -> DataFrame:
     """(media_id, mime, n_bytes, features) — the decode/extract stage.
-    ``use_backend=True`` decodes the payload for real (PNM/BMP/WAV;
-    JPEG/PNG/MP4 raise until a codec library is plugged into
-    ``decode_backend``) and derives content features from the pixels/
+    ``use_backend=True`` decodes the payload for real (PNM/BMP/PNG/
+    JPEG/GIF/WAV) and derives content features from the pixels/
     samples; the default keeps the byte-derived deterministic fake so
-    the distributed plumbing is testable independently of formats."""
+    the distributed plumbing is testable independently of formats.
+
+    Robustness: a crawled corpus CONTAINS corrupt payloads, and one
+    truncated image must not kill a 100-TB task — per-row decode
+    failures (including the documented MP4/progressive-JPEG
+    ``NotImplementedError`` stubs) fall back to a zero feature vector
+    for that row; the mime and byte count still flow, so the failure
+    set is queryable downstream (features = all-zeros)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -571,7 +577,12 @@ def extract_features(media: DataFrame, dim: int = 32, use_backend: bool = False)
                 payload = bytes(payload) if payload is not None else b""
                 mime = sniff_mime(payload)
                 if use_backend:
-                    feats = real_features(decode_backend(payload, mime), mime, dim)
+                    try:
+                        feats = real_features(decode_backend(payload, mime), mime, dim)
+                    except Exception:
+                        # corrupt/truncated/stub-format payload: zero
+                        # vector, never a task failure
+                        feats = np.zeros(dim, dtype=np.float32)
                 else:
                     feats = _fake_features(payload, dim)
                 out["media_id"].append(int(mid))

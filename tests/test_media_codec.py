@@ -458,3 +458,29 @@ def test_spark_video_metadata_tracks(spark):
         for r in video_metadata(media.repartition(3)).collect()
     )
     assert again == got
+
+
+def test_extract_features_survives_corrupt_payloads(spark):
+    """A crawled corpus contains corrupt bytes: truncated JPEG/PNG/GIF,
+    an MP4 (stub format), and garbage must yield zero feature vectors —
+    never a task failure — while valid rows in the same batch decode
+    normally."""
+    from coap_rfc_knowledge_graph_spark.functions.gif import encode_gif
+    from coap_rfc_knowledge_graph_spark.functions.jpeg import encode_jpeg
+    from coap_rfc_knowledge_graph_spark.functions.mp4 import build_mp4
+
+    good = encode_jpeg(np.full((8, 8), 99, dtype=np.uint8))
+    rows = [
+        (0, good),
+        (1, good[: len(good) // 2]),                 # truncated JPEG
+        (2, b"\x89PNG\r\n\x1a\x0bGARBAGE"),          # mangled PNG
+        (3, encode_gif(np.zeros((4, 4), np.uint8))[:20]),  # truncated GIF
+        (4, build_mp4()),                             # stub format (video)
+        (5, b"\xff\xd8\xff\x00\x01\x02"),            # jpeg magic, junk body
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: list(r.features) for r in extract_features(media, dim=8, use_backend=True).collect()}
+    assert len(got) == 6
+    assert any(v != 0.0 for v in got[0])  # the valid row decoded
+    for k in (1, 2, 3, 4, 5):
+        assert got[k] == [0.0] * 8, k
