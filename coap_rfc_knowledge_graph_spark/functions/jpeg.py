@@ -1,4 +1,5 @@
-"""Baseline JPEG (ITU-T T.81 / JFIF) codec in pure stdlib + numpy.
+"""Baseline + progressive JPEG (ITU-T T.81 / JFIF) codec, pure
+stdlib + numpy.
 
 Closes the last in-sandbox codec gap in ``multimodal.decode_backend``
 (VERDICT r4 "What's missing" #3): JPEG is the dominant crawled image
@@ -6,19 +7,29 @@ format, and decoding it needs no external library — baseline JFIF is
 Huffman coding + dequantization + an 8x8 inverse DCT, all expressible
 with ``struct`` and numpy.
 
-Decoder scope (``decode_jpeg``): baseline sequential DCT (SOF0), 8-bit
-precision, 1 or 3 components, any h/v sampling factors (4:4:4, 4:2:2,
-4:2:0, ...), arbitrary DHT/DQT tables read from the stream, restart
-intervals (DRI + RSTn), byte-stuffing. Progressive (SOF2), arithmetic
-coding, and 12-bit precision raise ``NotImplementedError`` — they are
-rare in web corpora and would triple the code for the feature path
-this backend serves.
+Decoder scope (``decode_jpeg``): baseline sequential DCT (SOF0) AND
+progressive DCT (SOF2 — spectral selection, successive approximation,
+DC/AC first and refinement scans, EOB runs), 8-bit precision, 1 or 3
+components, any h/v sampling factors (4:4:4, 4:2:2, 4:2:0, ...),
+arbitrary DHT/DQT tables read from the stream, multi-scan streams,
+restart intervals (DRI + RSTn), byte-stuffing. Arithmetic coding and
+12-bit precision raise ``NotImplementedError`` — both are rare in web
+corpora (unsupported by most browsers, so crawled sites avoid them).
+
+Coefficients accumulate per scan in integer block arrays; the IDCT +
+upsample + color convert run once, at EOI, vectorized over all blocks
+(a single einsum per component instead of a Python loop per block).
 
 Encoder scope (``encode_jpeg``): exists so the decoder is testable by
 roundtrip without any external reference image (the ``encode_png``
 pattern, ``multimodal.py``). Gray or RGB input, 4:4:4 or 4:2:0,
-IJG-style quality scaling of the Annex-K quantization tables. The
-Huffman tables it WRITES are deliberately uniform-length canonical
+IJG-style quality scaling of the Annex-K quantization tables, and
+``progressive=True`` emitting a real SOF2 scan script (interleaved DC
+first/refine at Al=1, per-component AC first/refine with cross-block
+EOB runs) whose decoded pixels are bit-identical to the baseline
+encoding of the same image — the quantized coefficients are the same,
+only the scan order differs, so the roundtrip test is self-validating.
+The Huffman tables it WRITES are deliberately uniform-length canonical
 codes (all 162 AC symbols at 9 bits, all 12 DC symbols at 4 bits):
 valid prefix codes any conformant decoder accepts, chosen over the
 Annex-K optimized tables because correctness here matters and
@@ -182,15 +193,140 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _decode_block_baseline(
+    reader: _BitReader,
+    coef: np.ndarray,
+    tdc: dict,
+    tac: dict,
+    pred: list[int],
+    ci: int,
+) -> None:
+    """One sequential-DCT block: DC diff + AC run-length into ``coef``
+    (a (64,) zig-zag-order view into the component's block store)."""
+    s = _decode_huffman(reader, tdc)
+    diff = _extend(reader.receive(s), s) if s else 0
+    pred[ci] += diff
+    coef[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = _decode_huffman(reader, tac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC coefficient overrun")
+        coef[k] = _extend(reader.receive(s), s)
+        k += 1
+
+
+def _decode_block_ac_first(
+    reader: _BitReader,
+    coef: np.ndarray,
+    tac: dict,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: list[int],
+) -> None:
+    """Progressive AC first scan (Ah=0), one block: T.81 G.2 run-length
+    with EOBn run markers spanning blocks (``eobrun`` is scan state)."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huffman(reader, tac)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC coefficient overrun")
+            coef[k] = _extend(reader.receive(s), s) << al
+            k += 1
+        else:
+            if r != 15:  # EOBn: run of 2^r (+ r appended bits) blocks
+                run = 1 << r
+                if r:
+                    run += reader.receive(r)
+                eobrun[0] = run - 1  # this block is the first member
+                return
+            k += 16  # ZRL
+    return
+
+
+def _refine_nonzero(reader: _BitReader, coef: np.ndarray, k: int, p1: int) -> None:
+    """Correction bit for a coefficient already nonzero in prior scans:
+    a 1-bit makes the magnitude's next bit 1 (moving away from zero)."""
+    if reader.read_bit():
+        if (int(coef[k]) & p1) == 0:
+            coef[k] += p1 if coef[k] >= 0 else -p1
+
+
+def _decode_block_ac_refine(
+    reader: _BitReader,
+    coef: np.ndarray,
+    tac: dict,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: list[int],
+) -> None:
+    """Progressive AC refinement scan (Ah=Al+1), one block: newly
+    nonzero coefficients arrive as run-length symbols with a sign bit;
+    already-nonzero ones read one correction bit each, interleaved in
+    coefficient order (T.81 G.7 / the libjpeg-compatible walk)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = _decode_huffman(reader, tac)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s:
+                # s is 1 by construction of the scan: one new bit plane
+                newval = p1 if reader.read_bit() else -p1
+            elif r != 15:
+                run = 1 << r
+                if r:
+                    run += reader.receive(r)
+                eobrun[0] = run
+                break  # remainder of the band handled below
+            # else ZRL: r == 15 -> skip 16 zero-history coefficients
+            while k <= se:
+                if coef[k] != 0:
+                    _refine_nonzero(reader, coef, k, p1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if newval:
+                coef[k] = newval
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            if coef[k] != 0:
+                _refine_nonzero(reader, coef, k, p1)
+            k += 1
+        eobrun[0] -= 1
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 pixels: (h, w) for grayscale, (h,
-    w, 3) RGB for YCbCr. See module docstring for scope."""
+    """Baseline (SOF0) or progressive (SOF2) JFIF bytes -> uint8
+    pixels: (h, w) for grayscale, (h, w, 3) RGB for YCbCr. See module
+    docstring for scope."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None  # (h, w, [(cid, hi, vi, tq), ...])
+    frame = None  # (h, w, [(cid, hi, vi, tq), ...], progressive)
+    store: list[np.ndarray] | None = None  # per component (bh, bw, 64)
+    scans_done = 0
     restart_interval = 0
     i = 2
     n = len(payload)
@@ -226,7 +362,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 (huff_ac if tc else huff_dc)[th] = _build_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(
                 ">H", seg[3:5]
             )[0], seg[5]
@@ -236,82 +372,131 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = (h, w, comps, marker == 0xC2)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG (SOF0) is supported, got SOF marker 0x{marker:02x}"
+                "only sequential (SOF0/SOF1) and progressive (SOF2) Huffman JPEG "
+                f"are supported, got SOF marker 0x{marker:02x}"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS: decode the scan
+        elif marker == 0xDA:  # SOS: decode one scan into the block store
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
-            h, w, comps = frame
+                raise ValueError("JPEG SOS before SOF")
+            h, w, comps, progressive = frame
             ns = seg[0]
-            scan = []  # (comp index, dc table, ac table)
+            scan = []  # (comp index, dc table id, ac table id)
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 ci = next(k for k, cc in enumerate(comps) if cc[0] == cs)
                 scan.append((ci, tables >> 4, tables & 0x0F))
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            elif ss > 0 and ns != 1:
+                raise ValueError("progressive AC scans must be non-interleaved (T.81 B.2.3)")
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcus_x = -(-w // (8 * hmax))
             mcus_y = -(-h // (8 * vmax))
-            planes = [
-                np.zeros((mcus_y * c[2] * 8, mcus_x * c[1] * 8), dtype=np.float64)
-                for c in comps
-            ]
+            if store is None:
+                store = [
+                    np.zeros((mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int64)
+                    for c in comps
+                ]
             reader = _BitReader(payload, i + seglen)
             pred = [0] * len(comps)
-            for mcu in range(mcus_x * mcus_y):
-                if restart_interval and mcu and mcu % restart_interval == 0:
+            eobrun = [0]  # EOB-run state spans blocks within an AC scan
+
+            if ns == 1:
+                # non-interleaved: raster over this component's own
+                # block grid (T.81 A.2.2 — smaller than the MCU-padded
+                # store for subsampled/odd-size components)
+                ci, tdc_id, tac_id = scan[0]
+                _, hi, vi, _tq = comps[ci]
+                cw = -(-(w * hi) // hmax)  # component sample dims
+                ch = -(-(h * vi) // vmax)
+                bw = -(-cw // 8)
+                bh = -(-ch // 8)
+                units = [(ci, tdc_id, tac_id, by, bx) for by in range(bh) for bx in range(bw)]
+            else:
+                units = []
+                for mcu in range(mcus_x * mcus_y):
+                    my, mx = divmod(mcu, mcus_x)
+                    for ci, tdc_id, tac_id in scan:
+                        _, hi, vi, _ = comps[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                units.append((ci, tdc_id, tac_id, my * vi + by, mx * hi + bx))
+            per_mcu = 1 if ns == 1 else sum(comps[c][1] * comps[c][2] for c, _, _ in scan)
+
+            for u, (ci, tdc_id, tac_id, by, bx) in enumerate(units):
+                if restart_interval and u and u % (restart_interval * per_mcu) == 0:
                     reader.restart()
                     pred = [0] * len(comps)
-                my, mx = divmod(mcu, mcus_x)
-                for ci, tdc, tac in scan:
-                    _, hi, vi, tq = comps[ci]
-                    for by in range(vi):
-                        for bx in range(hi):
-                            coef = np.zeros(64, dtype=np.int64)
-                            s = _decode_huffman(reader, huff_dc[tdc])
-                            diff = _extend(reader.receive(s), s) if s else 0
-                            pred[ci] += diff
-                            coef[0] = pred[ci]
-                            k = 1
-                            while k < 64:
-                                rs = _decode_huffman(reader, huff_ac[tac])
-                                r, s = rs >> 4, rs & 0x0F
-                                if s == 0:
-                                    if r == 15:  # ZRL
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("JPEG AC coefficient overrun")
-                                coef[k] = _extend(reader.receive(s), s)
-                                k += 1
-                            blk = np.zeros(64, dtype=np.int64)
-                            blk[_ZZ] = coef
-                            pix = _idct2(blk.reshape(8, 8).astype(np.float64) * qt[tq])
-                            y0 = (my * vi + by) * 8
-                            x0 = (mx * hi + bx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
-            out_planes = []
-            for ci, (_, hi, vi, _) in enumerate(comps):
-                p = np.repeat(np.repeat(planes[ci], vmax // vi, axis=0), hmax // hi, axis=1)
-                out_planes.append(p[:h, :w] + 128.0)
-            if len(out_planes) == 1:
-                return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-            if len(out_planes) != 3:
-                raise NotImplementedError(f"{len(out_planes)}-component JPEG not supported")
-            y, cb, cr = out_planes
-            r = y + 1.402 * (cr - 128.0)
-            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            b = y + 1.772 * (cb - 128.0)
-            return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+                    eobrun = [0]
+                coef = store[ci][by, bx]
+                if not progressive:
+                    _decode_block_baseline(
+                        reader, coef, huff_dc[tdc_id], huff_ac[tac_id], pred, ci
+                    )
+                elif ss == 0:  # DC scan (Se must be 0)
+                    if ah == 0:
+                        s = _decode_huffman(reader, huff_dc[tdc_id])
+                        diff = _extend(reader.receive(s), s) if s else 0
+                        pred[ci] += diff
+                        coef[0] = pred[ci] << al
+                    else:  # DC refinement: one raw bit per block
+                        if reader.read_bit():
+                            coef[0] |= 1 << al
+                elif ah == 0:
+                    _decode_block_ac_first(
+                        reader, coef, huff_ac[tac_id], ss, se, al, eobrun
+                    )
+                else:
+                    _decode_block_ac_refine(
+                        reader, coef, huff_ac[tac_id], ss, se, al, eobrun
+                    )
+            scans_done += 1
+            # resume segment parsing at the marker that ended the scan
+            p = reader.pos
+            while p + 1 < n and not (
+                payload[p] == 0xFF
+                and payload[p + 1] != 0x00
+                and not (0xD0 <= payload[p + 1] <= 0xD7)
+            ):
+                p += 1
+            i = p
+            continue
         i += seglen
-    raise ValueError("JPEG stream ended without a scan")
+
+    if frame is None or store is None or scans_done == 0:
+        raise ValueError("JPEG stream ended without a scan")
+    h, w, comps, _ = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out_planes = []
+    for ci, (_, hi, vi, tq) in enumerate(comps):
+        arr = store[ci]  # (bh, bw, 64) zig-zag coefficients
+        bh, bw = arr.shape[:2]
+        nat = np.zeros((bh, bw, 64), dtype=np.float64)
+        nat[..., _ZZ] = arr  # de-zig-zag all blocks at once
+        deq = nat.reshape(bh, bw, 8, 8) * qt[tq][None, None]
+        # IDCT every block in one einsum: T.T @ B @ T
+        pix = np.einsum("ij,abjk,kl->abil", _T.T, deq, _T)
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        p = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        out_planes.append(p[:h, :w] + 128.0)
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    if len(out_planes) != 3:
+        raise NotImplementedError(f"{len(out_planes)}-component JPEG not supported")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
 # --- encoder (roundtrip-test support) -------------------------------------
@@ -330,11 +515,18 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
 
 # encoder Huffman specs: uniform-length canonical codes (see module
 # docstring). DC: 12 symbols (sizes 0..11) at 4 bits; AC: all 162
-# baseline symbols at 9 bits.
+# baseline symbols at 9 bits. Progressive AC scans additionally need
+# the EOBn symbols (r<<4 for r in 1..14 — EOB runs longer than one
+# block), so the progressive table carries all 176 symbols at 9 bits
+# (Kraft sum 176/512 < 1: still a valid canonical code).
 _ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
 _ENC_DC_VALS = list(range(12))
 _ENC_AC_BITS = [0] * 8 + [162] + [0] * 7
 _ENC_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_ENC_AC_PROG_BITS = [0] * 8 + [176] + [0] * 7
+_ENC_AC_PROG_VALS = [r << 4 for r in range(15)] + [0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]
 
@@ -346,6 +538,7 @@ def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int
 
 _ENC_DC = _build_encode_table(_ENC_DC_BITS, _ENC_DC_VALS)
 _ENC_AC = _build_encode_table(_ENC_AC_BITS, _ENC_AC_VALS)
+_ENC_AC_PROG = _build_encode_table(_ENC_AC_PROG_BITS, _ENC_AC_PROG_VALS)
 
 
 class _BitWriter:
@@ -377,13 +570,19 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, bits
 
 
-def _encode_block(w: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int) -> int:
+def _block_coefs(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """8x8 pixel block -> quantized coefficients in zig-zag order.
+    AC magnitude categories stop at size 10: clamp the rare |coef| >
+    1023 (possible only at quality ~100 with q=1 and a pathological
+    block) — an encoder-side choice any decoder accepts."""
     coef = np.round(_fdct2(block.astype(np.float64) - 128.0) / q).astype(np.int64)
-    # baseline AC magnitude categories stop at size 10: clamp the rare
-    # |coef| > 1023 (possible only at quality ~100 with q=1 and a
-    # pathological block) — an encoder-side choice any decoder accepts
     zz = coef.reshape(-1)[_ZZ]
     zz[1:] = np.clip(zz[1:], -1023, 1023)
+    return zz
+
+
+def _encode_block(w: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int) -> int:
+    zz = _block_coefs(block, q)
     dc = int(zz[0])
     s, bits = _magnitude(dc - pred)
     ln, code = _ENC_DC[s]
@@ -412,6 +611,200 @@ def _encode_block(w: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int) ->
     return dc
 
 
+def _emit_ac_first_scan(
+    wtr: _BitWriter, blocks: list[np.ndarray], ss: int, se: int, al: int
+) -> None:
+    """Progressive AC first scan (Ah=0) body over a component's blocks
+    in raster order: run-length symbols on the point-transformed band,
+    EOB runs accumulated across blocks (flushed at 0x7FFF, the EOB14
+    ceiling)."""
+    eobrun = 0
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ln, code = _ENC_AC_PROG[r << 4]
+            wtr.write(ln, code)
+            if r:
+                wtr.write(r, eobrun - (1 << r))
+            eobrun = 0
+
+    for zz in blocks:
+        # point transform: magnitude shift, truncation toward zero
+        vals = [
+            (1 if int(v) > 0 else -1) * (abs(int(v)) >> al) for v in zz[ss : se + 1]
+        ]
+        nz = [j for j, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        run = 0
+        for j in range(nz[-1] + 1):
+            v = vals[j]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = _ENC_AC_PROG[0xF0]
+                wtr.write(ln, code)
+                run -= 16
+            s, bits = _magnitude(v)
+            ln, code = _ENC_AC_PROG[(run << 4) | s]
+            wtr.write(ln, code)
+            wtr.write(s, bits)
+            run = 0
+        if nz[-1] + ss < se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+
+
+def _emit_ac_refine_scan(
+    wtr: _BitWriter, blocks: list[np.ndarray], ss: int, se: int, al: int
+) -> None:
+    """Progressive AC refinement scan (Ah=Al+1) body: newly nonzero
+    coefficients (|coef|>>Al == 1) as run-length+sign symbols; already
+    nonzero ones as buffered correction bits emitted after the symbol
+    (or ZRL, or EOB) they precede — the T.81 G.7 / libjpeg ordering the
+    decoder's walk consumes. EOB flushed per block (run length 1), so
+    cross-block EOB runs are exercised by the FIRST scans, and the
+    correction-bit plumbing stays local."""
+    for zz in blocks:
+        absv = [abs(int(v)) >> al for v in zz[ss : se + 1]]
+        r = 0
+        br: list[int] = []
+        for j, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            if t > 1:  # nonzero history: next magnitude bit
+                br.append(t & 1)
+                continue
+            # newly nonzero (t == 1): flush pending ZRLs, then code it
+            while r > 15:
+                ln, code = _ENC_AC_PROG[0xF0]
+                wtr.write(ln, code)
+                r -= 16
+                for b in br:
+                    wtr.write(1, b)
+                br = []
+            ln, code = _ENC_AC_PROG[(r << 4) | 1]
+            wtr.write(ln, code)
+            wtr.write(1, 1 if int(zz[ss + j]) > 0 else 0)
+            for b in br:
+                wtr.write(1, b)
+            br = []
+            r = 0
+        if r > 0 or br:
+            ln, code = _ENC_AC_PROG[0x00]  # EOB, run of one block
+            wtr.write(ln, code)
+            for b in br:
+                wtr.write(1, b)
+
+
+def _encode_progressive_scans(
+    padded: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    qts: list[int],
+    qy: np.ndarray,
+    qc: np.ndarray,
+    h: int,
+    w: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> bytes:
+    """SOS segments + entropy data for the fixed 4-phase scan script
+    (DC first Al=1, DC refine, per-component AC first Al=1, AC refine).
+    Coefficients are quantized once; each scan re-reads the store, so
+    the decoded result is coefficient-identical to a baseline encode."""
+    nc = len(padded)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # quantize every block once, into MCU-padded (bh, bw, 64) stores
+    zzs = []
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        q = qy if qts[ci] == 0 else qc
+        bh, bw = mcus_y * sv, mcus_x * sh
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                arr[by, bx] = _block_coefs(
+                    padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q
+                )
+        zzs.append(arr)
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # MCU-interleaved block order (shared by both DC scans)
+    dc_order = [
+        (ci, my * samp[ci][1] + by, mx * samp[ci][0] + bx)
+        for my in range(mcus_y)
+        for mx in range(mcus_x)
+        for ci in range(nc)
+        for by in range(samp[ci][1])
+        for bx in range(samp[ci][0])
+    ]
+    out = bytearray()
+
+    # scan 1: DC first, point transform Al=1 (arithmetic shift per T.81)
+    out += sos(list(range(nc)), 0, 0, 0, 1)
+    wtr = _BitWriter()
+    pred = [0] * nc
+    for ci, by, bx in dc_order:
+        v = int(zzs[ci][by, bx, 0]) >> 1
+        s, bits = _magnitude(v - pred[ci])
+        pred[ci] = v
+        ln, code = _ENC_DC[s]
+        wtr.write(ln, code)
+        if s:
+            wtr.write(s, bits)
+    wtr.flush()
+    out += wtr.out
+
+    # scan 2: DC refinement — the deferred low bit, raw (no Huffman)
+    out += sos(list(range(nc)), 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for ci, by, bx in dc_order:
+        wtr.write(1, int(zzs[ci][by, bx, 0]) & 1)
+    wtr.flush()
+    out += wtr.out
+
+    # scans 3..: per component, AC first then AC refine, over the
+    # component's own (non-interleaved) block grid — T.81 requires
+    # ns == 1 for progressive AC scans
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        bw_ni = -(-cw // 8)
+        bh_ni = -(-ch // 8)
+        blocks = [
+            zzs[ci][by, bx] for by in range(bh_ni) for bx in range(bw_ni)
+        ]
+        out += sos([ci], 1, 63, 0, 1)
+        wtr = _BitWriter()
+        _emit_ac_first_scan(wtr, blocks, 1, 63, 1)
+        wtr.flush()
+        out += wtr.out
+        out += sos([ci], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        _emit_ac_refine_scan(wtr, blocks, 1, 63, 0)
+        wtr.flush()
+        out += wtr.out
+    return bytes(out)
+
+
 def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
     h, w = plane.shape
     ph = (-h) % mult
@@ -420,13 +813,23 @@ def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 85, subsample: bool = False, restart_interval: int = 0
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 (h, w) gray or (h, w, 3) RGB -> baseline JFIF bytes.
+    """uint8 (h, w) gray or (h, w, 3) RGB -> JFIF bytes.
     ``subsample=True`` emits 4:2:0 (2x2 box-averaged chroma), else
     4:4:4; ``restart_interval`` > 0 emits DRI + RSTn markers every that
-    many MCUs (exercising the decoder's resync path). Roundtrip-test
-    encoder — see module docstring."""
+    many MCUs (baseline only, exercising the decoder's resync path);
+    ``progressive=True`` emits SOF2 with the scan script: interleaved
+    DC first (Al=1) + DC refine, then per component AC 1..63 first
+    (Al=1) + AC refine — decodes bit-identically to the baseline
+    encoding of the same image. Roundtrip-test encoder — see module
+    docstring."""
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is supported for baseline encodes only")
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -480,16 +883,26 @@ def encode_jpeg(
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci in range(nc):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qts[ci]])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof
 
     def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
         body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
     out += dht(0, 0, _ENC_DC_BITS, _ENC_DC_VALS)
-    out += dht(1, 0, _ENC_AC_BITS, _ENC_AC_VALS)
+    if progressive:
+        out += dht(1, 0, _ENC_AC_PROG_BITS, _ENC_AC_PROG_VALS)
+    else:
+        out += dht(1, 0, _ENC_AC_BITS, _ENC_AC_VALS)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    if progressive:
+        out += _encode_progressive_scans(padded, samp, qts, qy, qc, h, w, mcus_x, mcus_y)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
 
     sos = bytes([nc])
     for ci in range(nc):

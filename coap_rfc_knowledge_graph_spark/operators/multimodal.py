@@ -15,11 +15,12 @@ count) all decode to numpy arrays in ``decode_backend`` — every common
 crawled image format decodes with no external library — with
 nearest-neighbor resize and deterministic content features (8x8
 integer-luma thumbnail for images, windowed mean-|amplitude| envelope
-for audio) computed from the decoded pixels/samples. Formats that
-genuinely need an external codec library (MP4, progressive JPEG — not
-present in this container) raise ``NotImplementedError`` from the same
-dispatch point; plugging PIL/torchaudio/pyav into ``decode_backend``
-extends coverage without touching any Spark plumbing.
+for audio) computed from the decoded pixels/samples. The one format
+that genuinely needs an external codec library (MP4 frame decode — not
+present in this container) raises ``NotImplementedError`` from the
+same dispatch point; plugging PIL/torchaudio/pyav into
+``decode_backend`` extends coverage without touching any Spark
+plumbing.
 
 Scale notes: binary payloads dominate row size — the ops below select
 ONLY (id, payload) into the Python worker (column pruning is explicit),
@@ -346,10 +347,11 @@ def decode_backend(payload: bytes, mime: str) -> np.ndarray:
     """Decode a media payload to a numpy array: (h, w[, c]) pixels for
     images, (n_frames, n_channels) int32 samples for audio. Real for
     every format stdlib + numpy can parse (PGM/PPM, uncompressed BMP,
-    PNG, baseline JPEG, GIF, PCM WAV) — every common crawled image
-    format decodes with no external library; formats that genuinely
-    need an external codec (MP4, progressive JPEG) raise
-    ``NotImplementedError`` — plug PIL/torchaudio/pyav in here."""
+    PNG, baseline + progressive JPEG, GIF, PCM WAV) — every common
+    crawled image format decodes with no external library; the one
+    format that genuinely needs an external codec (MP4 frame decode)
+    raises ``NotImplementedError`` — plug PIL/torchaudio/pyav in
+    here."""
     if mime == "image/png":
         return _decode_png(payload)
     if mime == "image/jpeg":
@@ -565,8 +567,8 @@ def extract_features(media: DataFrame, dim: int = 32, use_backend: bool = False)
 
     Robustness: a crawled corpus CONTAINS corrupt payloads, and one
     truncated image must not kill a 100-TB task — per-row decode
-    failures (including the documented MP4/progressive-JPEG
-    ``NotImplementedError`` stubs) fall back to a zero feature vector
+    failures (including the documented MP4-frame-decode
+    ``NotImplementedError`` stub) fall back to a zero feature vector
     for that row; the mime and byte count still flow, so the failure
     set is queryable downstream (features = all-zeros)."""
 

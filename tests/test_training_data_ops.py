@@ -345,18 +345,23 @@ def test_multimodal_features_content_pinned(spark):
     )
 
 
-def test_multimodal_backend_stub_raises(spark):
-    """Formats needing an external codec (JPEG here) still raise from
-    decode_backend; the stdlib-decodable formats are covered for real in
-    tests/test_media_codec.py."""
-    from coap_rfc_knowledge_graph_spark.operators.multimodal import extract_features
-
-    media = spark.createDataFrame(
-        [(0, "image", bytearray(b"\xff\xd8\xff\xe0 jpeg body"))],
-        "media_id long, kind string, payload binary",
+def test_multimodal_backend_stub_raises():
+    """Formats needing an external codec (MP4 frame decode here) still
+    raise from decode_backend itself; extract_features maps such rows
+    to zero feature vectors instead of failing the task (covered in
+    tests/test_media_codec.py), and the stdlib-decodable formats
+    (PNM/BMP/PNG/JPEG/GIF/WAV) are covered for real there too."""
+    from coap_rfc_knowledge_graph_spark.functions.mp4 import build_mp4
+    from coap_rfc_knowledge_graph_spark.operators.multimodal import (
+        decode_backend,
+        sniff_mime,
     )
-    with pytest.raises(Exception, match="NotImplementedError|backend|media decoding"):
-        extract_features(media, use_backend=True).collect()
+
+    payload = build_mp4()
+    mime = sniff_mime(payload)
+    assert mime == "video/mp4"
+    with pytest.raises(NotImplementedError, match="backend|media decoding"):
+        decode_backend(payload, mime)
 
 
 def test_simhash_native_engine_exact(spark):
