@@ -488,9 +488,14 @@ def encode_wav(samples: np.ndarray, framerate: int = 8000) -> bytes:
 def synthetic_decodable_media(spark, n: int, seed: int = 11, partitions: int | None = None) -> DataFrame:
     """Seeded media table whose payloads are REAL encoded files (PPM,
     PGM, BMP, WAV, PNG, JPEG, GIF round-robin — the PNG rows sweep all
-    five scanline filters, the JPEG rows alternate 4:4:4/4:2:0, the GIF
-    rows alternate interlacing) — exercises the actual codec end-to-end,
-    unlike :func:`synthetic_media` whose bodies are opaque noise."""
+    five scanline filters, the JPEG rows alternate gray 4:4:4 / color
+    4:2:0 AND baseline/progressive SOF2, the GIF rows alternate
+    interlacing) — exercises the actual codec end-to-end, unlike
+    :func:`synthetic_media` whose bodies are opaque noise. Variants
+    alternate on ``i // 8`` (the round-robin index), not ``i`` — within
+    one format slot ``i mod 8`` is constant, so ``i % 2`` never
+    alternates (the round-4 version of the JPEG/GIF rows had exactly
+    that bug: every JPEG was gray baseline, every GIF interlaced)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.gif import encode_gif
@@ -502,12 +507,15 @@ def synthetic_decodable_media(spark, n: int, seed: int = 11, partitions: int | N
                 rng = np.random.Generator(np.random.Philox(key=int(i) + seed))
                 ki = int(i) % 8
                 if ki == 6:
+                    slot = int(i) // 8
                     h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
-                    shape = (h, w, 3) if int(i) % 2 else (h, w)
+                    color = bool(slot % 2)
+                    shape = (h, w, 3) if color else (h, w)
                     payload = encode_jpeg(
                         rng.integers(0, 256, size=shape, dtype=np.uint8),
                         quality=85,
-                        subsample=bool(int(i) % 2),
+                        subsample=color,
+                        progressive=bool((slot // 2) % 2),
                     )
                     kind, dims, dur = "image", (w, h), 0
                 elif ki == 7:
@@ -515,7 +523,7 @@ def synthetic_decodable_media(spark, n: int, seed: int = 11, partitions: int | N
                     pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
                     payload = encode_gif(
                         pal[rng.integers(0, 8, size=(h, w))],
-                        interlace=bool(int(i) % 2),
+                        interlace=bool((int(i) // 8) % 2),
                     )
                     kind, dims, dur = "image", (w, h), 0
                 elif ki >= 4:

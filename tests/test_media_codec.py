@@ -40,7 +40,7 @@ from coap_rfc_knowledge_graph_spark.operators.multimodal import (  # noqa: E402
 # pinned round 5 (dim=16 features over the 48-row seeded decodable
 # table; recomputed when the generator gained JPEG/GIF rows — see
 # FIXTURES.md)
-DECODED_FEATURES_PIN = (48, "17352d7ee01b8063861fb567e254033fc373d81d79f51f79265ffdd184c2d2bf")
+DECODED_FEATURES_PIN = (48, "4b5f587a1a02caee9ed375d7ffae42500d21c686ba22b42a448f79d499541aef")
 
 
 def test_ppm_pgm_roundtrip_exact():
