@@ -201,14 +201,42 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass; each
+# pass is an independently-filtered sub-image in the inflated stream
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_expand(mat: np.ndarray, hp: int, wpc: int, depth: int) -> np.ndarray:
+    """Unfiltered byte matrix -> (hp, wpc) samples at the raw depth
+    (wpc = pixels * channels); 16-bit stays uint16 big-endian-decoded,
+    sub-8-bit unpacks ``depth`` bits big-endian per sample."""
+    if depth == 16:
+        return mat.view(">u2").astype(np.uint16)[:, :wpc]
+    if depth == 8:
+        return mat[:, :wpc]
+    bits = np.unpackbits(mat, axis=1)[:, : wpc * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (bits.reshape(hp, wpc, depth) * weights).sum(axis=2).astype(np.uint8)
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
     """PNG -> numpy pixels, pure stdlib (zlib) + numpy. Supports color
     types 0/2/3/4/6 at bit depths 1/2/4/8/16 (as the spec permits per
-    type), non-interlaced only (Adam7 raises). Returns (h, w) for gray,
-    (h, w, 2) gray+alpha, (h, w, 3) RGB / palette-expanded, (h, w, 4)
-    RGBA; dtype uint8, or uint16 for 16-bit gray/RGB/RGBA. Sub-8-bit
-    gray samples are rescaled to full 8-bit range (x * 255 / maxval);
-    palette indices are never rescaled (they index PLTE)."""
+    type), non-interlaced AND Adam7-interlaced (each of the 7 passes is
+    an independently filtered sub-image; samples scatter to the pass
+    grid). Returns (h, w) for gray, (h, w, 2) gray+alpha, (h, w, 3)
+    RGB / palette-expanded, (h, w, 4) RGBA; dtype uint8, or uint16 for
+    16-bit gray/RGB/RGBA. Sub-8-bit gray samples are rescaled to full
+    8-bit range (x * 255 / maxval); palette indices are never rescaled
+    (they index PLTE)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     ihdr = None
@@ -231,26 +259,38 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ValueError("non-standard PNG compression/filter method")
     channels = _PNG_CHANNELS.get(color)
     if channels is None:
         raise ValueError(f"bad PNG color type {color}")
-    stride = (w * channels * depth + 7) // 8
     bpp = max(1, (channels * depth) // 8)
-    mat = _png_unfilter(zlib.decompress(bytes(idat)), h, stride, bpp)
-    if depth == 16:
-        samples = mat.reshape(h, stride).view(">u2").astype(np.uint16)[:, : w * channels]
-    elif depth == 8:
-        samples = mat[:, : w * channels]
-    else:  # 1/2/4-bit: unpack, group `depth` bits big-endian per sample
-        bits = np.unpackbits(mat, axis=1)[:, : w * channels * depth]
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        samples = (bits.reshape(h, w * channels, depth) * weights).sum(axis=2).astype(np.uint8)
-        if color == 0:  # rescale gray to 8-bit range; palette keeps raw indices
-            samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    raw = zlib.decompress(bytes(idat))
+    dtype = np.uint16 if depth == 16 else np.uint8
+    if interlace:
+        out = np.zeros((h, w, channels), dtype=dtype)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            if w <= x0 or h <= y0:
+                continue  # empty pass contributes zero bytes
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            stride = (wp * channels * depth + 7) // 8
+            need = hp * (1 + stride)
+            mat = _png_unfilter(raw[off : off + need], hp, stride, bpp)
+            off += need
+            s = _png_expand(mat, hp, wp * channels, depth)
+            out[y0::dy, x0::dx] = s.reshape(hp, wp, channels)
+        samples = out.reshape(h, w * channels)
+    else:
+        stride = (w * channels * depth + 7) // 8
+        mat = _png_unfilter(raw, h, stride, bpp)
+        samples = _png_expand(mat, h, w * channels, depth)
+    if color == 0 and depth < 8:
+        # rescale gray to 8-bit range; palette keeps raw indices
+        samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
     if color == 3:
         if not plte:
             raise ValueError("palette PNG without PLTE")
@@ -284,10 +324,12 @@ def _png_filter_row(row: np.ndarray, prev: np.ndarray, bpp: int, ft: int) -> np.
     return (out % 256).astype(np.uint8)
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(img: np.ndarray, filter_type: int = 0, interlace: bool = False) -> bytes:
     """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA uint8 -> PNG bytes.
     ``filter_type`` applies one filter (0-4) to every scanline — the
-    decoder must invert all five, so tests sweep it."""
+    decoder must invert all five, so tests sweep it. ``interlace=True``
+    emits Adam7: seven independently-filtered sub-images in pass
+    order."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
         color, channels = 0, 1
@@ -298,14 +340,23 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     else:
         raise ValueError("encode_png takes (h,w), (h,w,3) or (h,w,4) uint8")
     h, w = img.shape[:2]
-    flat = img.reshape(h, w * channels)
     bpp = channels
+    px = img.reshape(h, w, channels)
     raw = bytearray()
-    prev = np.zeros(w * channels, dtype=np.uint8)
-    for y in range(h):
-        raw.append(filter_type)
-        raw.extend(_png_filter_row(flat[y], prev, bpp, filter_type).tobytes())
-        prev = flat[y]
+    if interlace:
+        passes = [
+            px[y0::dy, x0::dx] for x0, y0, dx, dy in _ADAM7 if w > x0 and h > y0
+        ]
+    else:
+        passes = [px]
+    for sub in passes:
+        hp, wp = sub.shape[:2]
+        flat = np.ascontiguousarray(sub).reshape(hp, wp * channels)
+        prev = np.zeros(wp * channels, dtype=np.uint8)
+        for y in range(hp):
+            raw.append(filter_type)
+            raw.extend(_png_filter_row(flat[y], prev, bpp, filter_type).tobytes())
+            prev = flat[y]
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -315,7 +366,7 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -488,9 +539,10 @@ def encode_wav(samples: np.ndarray, framerate: int = 8000) -> bytes:
 def synthetic_decodable_media(spark, n: int, seed: int = 11, partitions: int | None = None) -> DataFrame:
     """Seeded media table whose payloads are REAL encoded files (PPM,
     PGM, BMP, WAV, PNG, JPEG, GIF round-robin — the PNG rows sweep all
-    five scanline filters, the JPEG rows alternate gray 4:4:4 / color
-    4:2:0 AND baseline/progressive SOF2, the GIF rows alternate
-    interlacing) — exercises the actual codec end-to-end, unlike
+    five scanline filters and alternate Adam7 interlacing, the JPEG
+    rows alternate gray 4:4:4 / color 4:2:0 AND baseline/progressive
+    SOF2, the GIF rows alternate interlacing) — exercises the actual
+    codec end-to-end, unlike
     :func:`synthetic_media` whose bodies are opaque noise. Variants
     alternate on ``i // 8`` (the round-robin index), not ``i`` — within
     one format slot ``i mod 8`` is constant, so ``i % 2`` never
@@ -532,6 +584,7 @@ def synthetic_decodable_media(spark, n: int, seed: int = 11, partitions: int | N
                     payload = encode_png(
                         rng.integers(0, 256, size=shape, dtype=np.uint8),
                         filter_type=int(i) % 5,
+                        interlace=bool((int(i) // 8) % 2),
                     )
                     kind, dims, dur = "image", (w, h), 0
                 elif ki == 0:

@@ -40,7 +40,7 @@ from coap_rfc_knowledge_graph_spark.operators.multimodal import (  # noqa: E402
 # pinned round 5 (dim=16 features over the 48-row seeded decodable
 # table; recomputed when the generator gained JPEG/GIF rows — see
 # FIXTURES.md)
-DECODED_FEATURES_PIN = (48, "4b5f587a1a02caee9ed375d7ffae42500d21c686ba22b42a448f79d499541aef")
+DECODED_FEATURES_PIN = (48, "3070f86ca498d1dc02d7fd28b103553d48cdfa5598b481026b5fcb4d3329f42a")
 
 
 def test_ppm_pgm_roundtrip_exact():
@@ -225,23 +225,22 @@ def test_png_16bit_palette_and_subbyte_depths():
     assert list(_decode_png(b1)[0]) == [255, 0, 255]
 
 
-def test_png_interlaced_raises_not_implemented():
-    import struct
-    import zlib
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 encode -> decode exact pixels for gray/RGB/RGBA under
+    every scanline filter, including shapes where most passes are empty
+    (1x1) or degenerate (tall-narrow / short-wide), and equality with
+    the non-interlaced decode of the same image."""
+    from coap_rfc_knowledge_graph_spark.operators.multimodal import _decode_png, encode_png
 
-    from coap_rfc_knowledge_graph_spark.operators.multimodal import _decode_png
-
-    def chunk(t, d):
-        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
-
-    sig = b"\x89PNG\r\n\x1a\n"
-    b = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)) + chunk(
-        b"IDAT", zlib.compress(b"\x00\x00\x00")
-    ) + chunk(b"IEND", b"")
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError, match="Adam7"):
-        _decode_png(b)
+    rng = np.random.Generator(np.random.Philox(key=23))
+    for shape in [(16, 16), (17, 9, 3), (7, 7, 4), (1, 1, 3), (3, 40, 3), (40, 2)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in range(5):
+            data = encode_png(img, filter_type=ft, interlace=True)
+            out = _decode_png(data)
+            assert out.shape == img.shape and np.array_equal(out, img), (shape, ft)
+            plain = _decode_png(encode_png(img, filter_type=ft))
+            assert np.array_equal(out, plain)
 
 
 def test_jpeg_roundtrip_gray_and_rgb():
