@@ -375,6 +375,26 @@ def q_video_track_metadata(spark, sf_dir):
     return video_metadata(media)
 
 
+def q_video_frame_features(spark, sf_dir):
+    """REAL MP4 frame decode for Motion-JPEG tracks (rows-only by
+    design — the codec output is not SQL-expressible): seeded MJPEG
+    videos whose every frame is a genuine JFIF image embedded with
+    exact stsz/stsc/stco sample tables -> per-frame decode via the
+    repo's own JPEG codec -> luma-thumbnail features. avc1 rows in the
+    same table contribute zero rows (the documented inter-frame-codec
+    absence). The full output incl. feature values is order-insensitive
+    sha256-pinned in tests/test_video_frames.py (FRAME_FEATURES_PIN)."""
+    from coap_rfc_knowledge_graph_spark.operators.multimodal import (
+        synthetic_mjpeg_media,
+        video_frame_features,
+    )
+
+    media = synthetic_mjpeg_media(spark, 24)
+    return video_frame_features(media, every_ms=250, dim=8).select(
+        "media_id", "frame_idx", "ts_ms", "height", "width"
+    )
+
+
 def q_html_main_content(spark, sf_dir):
     """jusText-lite block-level boilerplate removal over (url, html)
     pages synthesized deterministically from documents (rows-only by
@@ -1544,6 +1564,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_decode_features": q_media_decode_features,
         "video_track_metadata": q_video_track_metadata,
+        "video_frame_features": q_video_frame_features,
         "html_main_content": q_html_main_content,
         "unicode_normalize": q_unicode_normalize,
         "kg_negative_samples": q_kg_negative_samples,

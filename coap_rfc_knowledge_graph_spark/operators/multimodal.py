@@ -5,22 +5,25 @@ decode / feature-extract / resize / frame-sample are Arrow-batched
 pandas UDFs over ``mapInPandas``.
 
 The codec is REAL for every format decodable with the stdlib + numpy:
-baseline JPEG (Huffman + dequant + 8x8 IDCT, any chroma subsampling,
-restart intervals — ``functions/jpeg.py``), PNG (zlib-inflated IDAT +
-all five scanline filters; gray / RGB / palette / RGBA at bit depths
-1-16, non-interlaced), GIF (variable-width LZW, local/global palettes,
-interlacing — ``functions/gif.py``), PPM/PGM (P5/P6, 8- and 16-bit),
-BMP (uncompressed 24/32-bit), and PCM WAV (8/16/32-bit, any channel
+baseline + progressive JPEG (Huffman + dequant + 8x8 IDCT, any chroma
+subsampling, restart intervals — ``functions/jpeg.py``), PNG
+(zlib-inflated IDAT + all five scanline filters; gray / RGB / palette
+/ RGBA at bit depths 1-16, non-interlaced and Adam7), GIF
+(variable-width LZW, local/global palettes, interlacing —
+``functions/gif.py``), PPM/PGM (P5/P6, 8- and 16-bit), BMP
+(uncompressed 24/32-bit), and PCM WAV (8/16/32-bit, any channel
 count) all decode to numpy arrays in ``decode_backend`` — every common
 crawled image format decodes with no external library — with
 nearest-neighbor resize and deterministic content features (8x8
 integer-luma thumbnail for images, windowed mean-|amplitude| envelope
-for audio) computed from the decoded pixels/samples. The one format
-that genuinely needs an external codec library (MP4 frame decode — not
-present in this container) raises ``NotImplementedError`` from the
-same dispatch point; plugging PIL/torchaudio/pyav into
-``decode_backend`` extends coverage without touching any Spark
-plumbing.
+for audio) computed from the decoded pixels/samples. Video frames
+decode for REAL too when the track is Motion-JPEG
+(``decode_video_frames``: container sample table -> JFIF slice -> own
+JPEG codec); the one thing that still genuinely needs an external
+codec library is inter-frame video (H.264/H.265/AAC — not present in
+this container), which raises ``NotImplementedError`` from the same
+dispatch points; plugging PIL/torchaudio/pyav in extends coverage
+without touching any Spark plumbing.
 
 Scale notes: binary payloads dominate row size — the ops below select
 ONLY (id, payload) into the Python worker (column pruning is explicit),
@@ -399,10 +402,11 @@ def decode_backend(payload: bytes, mime: str) -> np.ndarray:
     images, (n_frames, n_channels) int32 samples for audio. Real for
     every format stdlib + numpy can parse (PGM/PPM, uncompressed BMP,
     PNG, baseline + progressive JPEG, GIF, PCM WAV) — every common
-    crawled image format decodes with no external library; the one
-    format that genuinely needs an external codec (MP4 frame decode)
-    raises ``NotImplementedError`` — plug PIL/torchaudio/pyav in
-    here."""
+    crawled image format decodes with no external library; video goes
+    through :func:`decode_video_frames` instead (real for Motion-JPEG
+    tracks; inter-frame codecs like H.264 are the one remaining
+    genuinely-needs-a-library stub — plug PIL/torchaudio/pyav in
+    here)."""
     if mime == "image/png":
         return _decode_png(payload)
     if mime == "image/jpeg":
@@ -628,7 +632,7 @@ def extract_features(media: DataFrame, dim: int = 32, use_backend: bool = False)
 
     Robustness: a crawled corpus CONTAINS corrupt payloads, and one
     truncated image must not kill a 100-TB task — per-row decode
-    failures (including the documented MP4-frame-decode
+    failures (including the documented inter-frame-video
     ``NotImplementedError`` stub) fall back to a zero feature vector
     for that row; the mime and byte count still flow, so the failure
     set is queryable downstream (features = all-zeros)."""
@@ -661,8 +665,9 @@ def extract_features(media: DataFrame, dim: int = 32, use_backend: bool = False)
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """(media_id, frame_ts_ms) — frame-sampling plan for video rows:
     the timestamp fan-out is NATIVE (sequence + explode over metadata);
-    only the subsequent per-frame decode (stubbed) needs the payload.
-    This ordering keeps the binary column out of the explode."""
+    only the subsequent per-frame decode (:func:`video_frame_features`,
+    real for Motion-JPEG) needs the payload. This ordering keeps the
+    binary column out of the explode."""
     vids = media.filter(F.col("kind") == "video").select(
         "media_id", F.col("meta.duration_ms").alias("duration_ms")
     )
@@ -733,3 +738,152 @@ def video_metadata(media: DataFrame, id_col: str = "media_id",
 
     pruned = media.select(id_col, payload_col)
     return pruned.mapInPandas(fn, VIDEO_META_SCHEMA)
+
+
+# Motion-JPEG sample-entry fourccs (QuickTime photo-JPEG + the common
+# MJPEG variants): every sample is a standalone JFIF image, so the
+# repo's own JPEG codec decodes frames with no external library.
+_MJPEG_CODECS = {"jpeg", "mjpa", "mjpb", "mjpg", "MJPG", "dmb1"}
+
+
+def decode_video_frames(
+    payload: bytes, every_ms: int = 1000, max_frames: int = 64
+) -> Iterator[tuple[int, int, np.ndarray]]:
+    """REAL MP4 frame decode for Motion-JPEG tracks: yields
+    (sample_idx, ts_ms, pixels) for the first MJPEG video track,
+    sampled on an ``every_ms`` grid (the first sample at-or-after each
+    multiple of ``every_ms``), at most ``max_frames`` frames. The
+    sample table (``parse_mp4(..., with_samples=True)``) gives exact
+    byte ranges into mdat; each range is a standalone JFIF image
+    decoded by ``functions/jpeg.py``. Tracks in any OTHER codec
+    (H.264/H.265/...) raise ``NotImplementedError`` — inter-frame
+    codecs genuinely need an external library; this is the narrowed
+    residue of the former whole-format stub."""
+    from ..functions.jpeg import decode_jpeg
+    from ..functions.mp4 import parse_mp4
+
+    meta = parse_mp4(payload, with_samples=True)
+    track = next(
+        (
+            t
+            for t in meta["tracks"]
+            if t["kind"] == "video" and t["codec"] in _MJPEG_CODECS and t["samples"]
+        ),
+        None,
+    )
+    if track is None:
+        codecs = [t["codec"] for t in meta["tracks"] if t["kind"] == "video"]
+        raise NotImplementedError(
+            f"no Motion-JPEG video track (found {codecs}); inter-frame codecs "
+            "need an external library — plug pyav in here"
+        )
+    next_target = 0
+    emitted = 0
+    for idx, (off, size, ts) in enumerate(track["samples"]):
+        if ts < next_target:
+            continue
+        yield idx, ts, decode_jpeg(payload[off : off + size])
+        next_target = (ts // every_ms + 1) * every_ms
+        emitted += 1
+        if emitted >= max_frames:
+            return
+
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def video_frame_features(
+    media: DataFrame, every_ms: int = 1000, dim: int = 32, max_frames: int = 64
+) -> DataFrame:
+    """(media_id, frame_idx, ts_ms, height, width, features) — the
+    per-frame decode stage ``sample_video_frames`` plans for, REAL for
+    Motion-JPEG tracks (container sample table -> JFIF slice -> own
+    JPEG codec -> 8x8 luma-thumbnail features, all stdlib+numpy).
+    Video rows in codecs needing an external library, and corrupt
+    payloads, contribute zero rows — a queryable absence, never a task
+    failure (anti-join against this output to find them). Arrow-batched
+    mapInPandas over the column-pruned (id, payload) projection of
+    kind='video' rows only; ``max_frames`` bounds the per-row fan-out
+    so one pathological 10-hour video cannot skew a task."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    for idx, ts, px in decode_video_frames(payload, every_ms, max_frames):
+                        feats = real_features(px, "image/jpeg", dim)
+                        rows.append(
+                            (int(mid), idx, ts, int(px.shape[0]), int(px.shape[1]), feats)
+                        )
+                except Exception:
+                    continue  # non-MJPEG codec / corrupt container
+            yield pd.DataFrame(rows, columns=cols)
+
+    vids = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    return vids.mapInPandas(fn, FRAME_FEATURES_SCHEMA)
+
+
+def synthetic_mjpeg_media(
+    spark,
+    n: int,
+    seed: int = 17,
+    frames_per_video: int = 6,
+    fps: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Seeded video table whose payloads are REAL Motion-JPEG MP4s
+    (each frame a genuine JFIF image from ``encode_jpeg``, embedded
+    with exact stsz/stsc/stco tables by ``build_mp4``). Rows alternate
+    on ``i % 3``: 0/1 are MJPEG (gray 4:4:4 / color 4:2:0, chunk
+    layouts one-chunk / two-per-chunk), 2 is an avc1 container (the
+    metadata parses; frame decode is correctly absent) — so one table
+    exercises the decodable path, the stsc expansion, and the
+    queryable-absence contract at once."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jpeg import encode_jpeg
+        from ..functions.mp4 import build_mp4
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.Generator(np.random.Philox(key=i + seed))
+                h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+                dur = frames_per_video * 1000 // fps
+                if i % 3 == 2:
+                    payload = build_mp4(duration_ms=dur, video=(w, h, frames_per_video))
+                else:
+                    color = i % 3 == 1
+                    shape = (h, w, 3) if color else (h, w)
+                    frames = [
+                        encode_jpeg(
+                            rng.integers(0, 256, size=shape, dtype=np.uint8),
+                            quality=85,
+                            subsample=color,
+                        )
+                        for _ in range(frames_per_video)
+                    ]
+                    payload = build_mp4(
+                        duration_ms=dur,
+                        video=(w, h, 0),
+                        video_codec=b"jpeg",
+                        video_frames=frames,
+                        frames_per_chunk=2 if color else 0,
+                    )
+                rows.append((i, "video", payload, ("video/mp4", w, h, dur)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(n, numPartitions=partitions).mapInPandas(gen, MEDIA_SCHEMA)
