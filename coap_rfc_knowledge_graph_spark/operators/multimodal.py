@@ -762,6 +762,8 @@ def decode_video_frames(
     from ..functions.jpeg import decode_jpeg
     from ..functions.mp4 import parse_mp4
 
+    if every_ms < 1:
+        raise ValueError(f"every_ms must be >= 1 (got {every_ms})")
     meta = parse_mp4(payload, with_samples=True)
     track = next(
         (

@@ -82,6 +82,18 @@ def test_every_ms_grid_and_max_frames():
     assert len(list(decode_video_frames(payload, every_ms=1, max_frames=3))) == 3
 
 
+def test_every_ms_below_one_rejected():
+    """every_ms=0 would divide by zero in the grid step and a negative
+    grid never advances — both are rejected up front."""
+    frames = _frames(2)
+    payload = build_mp4(
+        duration_ms=500, video=(16, 16, 0), video_codec=b"jpeg", video_frames=frames,
+    )
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="every_ms"):
+            list(decode_video_frames(payload, every_ms=bad))
+
+
 def test_non_mjpeg_codec_raises_not_implemented():
     payload = build_mp4(video=(64, 48, 10))  # avc1, no embedded frames
     with pytest.raises(NotImplementedError, match="Motion-JPEG"):
