@@ -651,6 +651,53 @@ def q_script_profile(spark, sf_dir):
     return script_profile(docs.select("doc_id", text.alias("text")))
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap ingestion (sitemaps.org urlset + sitemapindex) over
+    deterministic per-doc XML payloads: every doc_id % 5 != 0 doc emits
+    an urlset with a fully-populated entry (lastmod/changefreq/priority,
+    an &amp;-escaped query loc on the second entry) and every
+    doc_id % 5 == 0 doc a sitemapindex pointer whose noise priority
+    field the parser must strip. The XML is BUILT with codegen concat
+    and parsed by the REAL stdlib parser (mapInPandas, zero shuffle);
+    the oracle reconstructs the same rows arithmetically — a
+    round-trip proof of the field extraction, entity unescaping and
+    the exact 0.d -> d*100 priority scaling."""
+    from coap_rfc_knowledge_graph_spark.operators.sitemap import parse_sitemaps
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = F.concat(F.lit("h"), (d % 13).cast("string"), F.lit(".example"))
+    lastmod = F.concat(F.lit("2026-08-0"), (d % 9 + 1).cast("string"))
+    changefreq = (
+        F.when(d % 3 == 0, "daily").when(d % 3 == 1, "weekly").otherwise("monthly")
+    )
+    urlset = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            "  <url>\n    <loc>https://"
+        ),
+        host, F.lit("/p"), ds,
+        F.lit("</loc>\n    <lastmod>"), lastmod,
+        F.lit("</lastmod>\n    <changefreq>"), changefreq,
+        F.lit("</changefreq>\n    <priority>0."), (d % 10).cast("string"),
+        F.lit("</priority>\n  </url>\n  <url><loc>https://"),
+        host, F.lit("/alt"), ds,
+        F.lit("?a=1&amp;b=2</loc></url>\n</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0"?>\n<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n  <sitemap>\n    <loc>https://'),
+        host, F.lit("/sm-"), ds,
+        F.lit(".xml</loc>\n    <lastmod>"), lastmod,
+        F.lit("</lastmod>\n    <priority>0.9</priority>\n  </sitemap>\n</sitemapindex>"),
+    )
+    payloads = _t(spark, sf_dir, "documents").select(
+        host.alias("host"),
+        F.when(d % 5 == 0, index).otherwise(urlset).alias("payload"),
+    )
+    return parse_sitemaps(payloads)
+
+
 def q_nsp_pairs(spark, sf_dir):
     """M11 data-prep: NSP sentence-pair generation over documents —
     per-doc lead() next sentence vs congruential-draw random partner
@@ -1578,6 +1625,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_graph": q_domain_graph,
         "robots_filter": q_robots_filter,
         "script_profile": q_script_profile,
+        "sitemap_urls": q_sitemap_urls,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,
@@ -2476,6 +2524,31 @@ def oracle_sql() -> dict[str, str]:
             FROM p LEFT JOIN best USING (url)
         """,
         "script_profile": _script_profile_sql(),
+        "sitemap_urls": """
+            WITH d AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS host,
+                     '2026-08-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod
+              FROM documents
+            )
+            SELECT host, 'url' AS kind,
+                   'https://' || host || '/p' || CAST(doc_id AS VARCHAR) AS loc,
+                   lastmod,
+                   CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                        ELSE 'monthly' END AS changefreq,
+                   CAST((doc_id % 10) * 100 AS BIGINT) AS priority_millis
+            FROM d WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT host, 'url',
+                   'https://' || host || '/alt' || CAST(doc_id AS VARCHAR) || '?a=1&b=2',
+                   NULL, NULL, NULL
+            FROM d WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT host, 'sitemap',
+                   'https://' || host || '/sm-' || CAST(doc_id AS VARCHAR) || '.xml',
+                   lastmod, NULL, NULL
+            FROM d WHERE doc_id % 5 = 0
+        """,
         "weburl_domain_filter": f"""
             WITH {_WEBURL_CTE},
             b AS (
