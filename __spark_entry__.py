@@ -698,6 +698,36 @@ def q_sitemap_urls(spark, sf_dir):
     return parse_sitemaps(payloads)
 
 
+def q_frontier_topk(spark, sf_dir):
+    """Crawl-frontier prioritization: discovered outlink edges (11
+    target hosts, two path depths, 50 leaf slots -> colliding urls with
+    varying inlink counts) minus a crawled set (every 4th leaf slot),
+    scored rank*1000 + inlinks*10 - depth against a host-rank table
+    that is MISSING two hosts (they must score rank 0, not drop), cut
+    to the top 3 per host with the skew-safe two-level per-key top-k.
+    Every scoring term is BIGINT; the order (priority desc, url asc)
+    is total, so the frontier hashes identically on any engine."""
+    from coap_rfc_knowledge_graph_spark.operators.frontier import crawl_frontier
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("t"), ((d * 3 + 1) % 11).cast("string"), F.lit(".example"))
+    dst = F.concat(
+        F.lit("https://"), host,
+        F.when(d % 2 == 0, "/a/f").otherwise("/f"), (d % 50).cast("string"),
+    )
+    edges = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://s"), (d % 7).cast("string"), F.lit(".example/p")).alias("src"),
+        dst.alias("dst"),
+    )
+    crawled = edges.filter((d % 50) % 4 == 0).select(F.col("dst").alias("url"))
+    h = F.col("id")
+    ranks = spark.range(9).select(
+        F.concat(F.lit("t"), h.cast("string"), F.lit(".example")).alias("host"),
+        ((h * 37) % 100).alias("rank"),
+    )
+    return crawl_frontier(edges, crawled, ranks, k=3)
+
+
 def q_nsp_pairs(spark, sf_dir):
     """M11 data-prep: NSP sentence-pair generation over documents —
     per-doc lead() next sentence vs congruential-draw random partner
@@ -1626,6 +1656,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "script_profile": q_script_profile,
         "sitemap_urls": q_sitemap_urls,
+        "frontier_topk": q_frontier_topk,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,
@@ -2548,6 +2579,41 @@ def oracle_sql() -> dict[str, str]:
                    'https://' || host || '/sm-' || CAST(doc_id AS VARCHAR) || '.xml',
                    lastmod, NULL, NULL
             FROM d WHERE doc_id % 5 = 0
+        """,
+        "frontier_topk": """
+            WITH e AS (
+              SELECT 't' || CAST((doc_id * 3 + 1) % 11 AS VARCHAR) || '.example' AS host,
+                     'https://t' || CAST((doc_id * 3 + 1) % 11 AS VARCHAR) || '.example' ||
+                     CASE WHEN doc_id % 2 = 0 THEN '/a/f' ELSE '/f' END ||
+                     CAST(doc_id % 50 AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS depth,
+                     doc_id % 50 AS leaf
+              FROM documents
+            ),
+            cand AS (
+              SELECT host, url, CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+                     CAST(MIN(depth) AS BIGINT) AS depth, MIN(leaf) AS leaf
+              FROM e GROUP BY host, url
+            ),
+            r AS (
+              SELECT 't' || CAST(h AS VARCHAR) || '.example' AS host,
+                     CAST((h * 37) % 100 AS BIGINT) AS rank
+              FROM range(9) t(h)
+            ),
+            scored AS (
+              SELECT c.host, c.url, c.n_inlinks, c.depth,
+                     COALESCE(r.rank, 0) AS host_rank,
+                     COALESCE(r.rank, 0) * 1000 + c.n_inlinks * 10 - c.depth AS priority
+              FROM cand c LEFT JOIN r USING (host)
+              WHERE c.leaf % 4 <> 0
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY host ORDER BY priority DESC, url ASC
+              ) AS rk FROM scored
+            )
+            SELECT host, url, n_inlinks, depth, host_rank, priority
+            FROM ranked WHERE rk <= 3
         """,
         "weburl_domain_filter": f"""
             WITH {_WEBURL_CTE},

@@ -78,6 +78,35 @@ def two_level_topk(df: DataFrame, order_by: list, k: int) -> DataFrame:
     )
 
 
+def two_level_topk_per_key(
+    df: DataFrame, key_cols: list[str], order_by: list, k: int
+) -> DataFrame:
+    """Top-k PER KEY under ``order_by`` without funneling a head key
+    through one task: a plain ``Window.partitionBy(key)`` sorts ALL of
+    a key's rows in one task, which at crawl scale means the biggest
+    host owns the longest task (the same head-skew class the salted
+    top-1 in ``operators.linking`` exists for). Level 1 ranks within
+    (key, physical input partition) — a head key's rows stay spread
+    over however many partitions they arrived in — and keeps k per
+    cell; level 2 re-ranks the <= k * n_partitions survivors per key,
+    bounded by construction. Exactly equal to the naive per-key window,
+    tie-breaks included (``order_by`` must be a deterministic total
+    order within each key)."""
+    per_cell = Window.partitionBy(*key_cols, "__pid").orderBy(*order_by)
+    candidates = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__r", F.row_number().over(per_cell))
+        .filter(F.col("__r") <= k)
+        .drop("__pid", "__r")
+    )
+    final = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        candidates.withColumn("__r", F.row_number().over(final))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
 def zip_with_cumsum(
     df: DataFrame, order_cols: list[str], value_col: str, out_col: str = "cum"
 ) -> DataFrame:

@@ -157,6 +157,19 @@ def main() -> None:
         "implies --link-graph",
     )
     ap.add_argument(
+        "--frontier",
+        type=int,
+        nargs="?",
+        const=100,
+        default=None,
+        metavar="K",
+        help="also materialize the next-crawl frontier as a 'frontier' "
+        "stage: top-K (default 100) not-yet-crawled outlink urls per "
+        "host, scored host_rank*1000 + inlinks*10 - depth with exact "
+        "BIGINT arithmetic (host ranks come from the --host-ranks "
+        "stage when enabled, else 0); implies --link-graph",
+    )
+    ap.add_argument(
         "--substring-dedup",
         type=int,
         nargs="?",
@@ -230,7 +243,9 @@ def main() -> None:
 
     if args.host_ranks is not None and args.host_ranks < 1:
         ap.error("--host-ranks ITERS must be >= 1")
-    if args.link_graph or args.host_ranks is not None:
+    if args.frontier is not None and args.frontier < 1:
+        ap.error("--frontier K must be >= 1")
+    if args.link_graph or args.host_ranks is not None or args.frontier is not None:
         # from the RAW ingested pages: curation may rewrite text, but
         # the link graph is a property of the crawl itself
         from coap_rfc_knowledge_graph_spark.operators.html_extract import html_links
@@ -254,6 +269,32 @@ def main() -> None:
                     src_col="src_host", dst_col="dst_host",
                 ).withColumnRenamed("node", "host")
                 lg_store.write(ranks, "host_ranks", inputs=["link_graph"], params=hr_params)
+        if args.frontier is not None:
+            from coap_rfc_knowledge_graph_spark.operators.frontier import crawl_frontier
+
+            fr_params = {
+                "frontier": True,
+                "k": args.frontier,
+                "with_ranks": args.host_ranks is not None,
+            }
+            if not lg_store.has("frontier", params=fr_params):
+                ranks = (
+                    lg_store.read(spark, "host_ranks")
+                    if args.host_ranks is not None
+                    else None
+                )
+                frontier = crawl_frontier(
+                    lg_store.read(spark, "link_graph"),
+                    pages.select("url"),
+                    ranks,
+                    k=args.frontier,
+                )
+                lg_store.write(
+                    frontier,
+                    "frontier",
+                    inputs=["link_graph"] + (["host_ranks"] if ranks is not None else []),
+                    params=fr_params,
+                )
 
     def apply_prepasses(pages):
         return _apply_prepasses(spark, pages, args, F)
@@ -349,6 +390,8 @@ def main() -> None:
             )
     store = run_resumable(spark, pages, args.out, url_partitions=args.url_partitions)
     report = (["link_graph"] if args.link_graph else []) + (
+        ["host_ranks"] if args.host_ranks is not None else []
+    ) + (["frontier"] if args.frontier is not None else []) + (
         ["curated_pages"] if prepass_active else []
     ) + [
         "sentences", "mentions", "triples", "entities", "rules", "edges", "contradictions",

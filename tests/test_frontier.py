@@ -1,0 +1,120 @@
+"""Crawl-frontier prioritization + the skew-safe per-key top-k."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from coap_rfc_knowledge_graph_spark.functions.ranking import two_level_topk_per_key
+from coap_rfc_knowledge_graph_spark.operators.frontier import crawl_frontier
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_two_level_topk_per_key_equals_naive_window(spark):
+    # deterministic congruential values; key g0 is a head key (half
+    # the rows) so the parity also covers the skew shape
+    df = spark.range(3000).select(
+        F.when(F.col("id") % 2 == 0, "g0")
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 7 + 1).cast("string")))
+        .alias("key"),
+        ((F.col("id") * 2654435761) % 1000).alias("v"),
+        F.col("id").alias("tie"),
+    )
+    order = [F.desc("v"), F.asc("tie")]
+    naive = (
+        df.withColumn("__r", F.row_number().over(Window.partitionBy("key").orderBy(*order)))
+        .filter(F.col("__r") <= 5)
+        .drop("__r")
+    )
+    for parts in (1, 4, 32):
+        got = two_level_topk_per_key(df.repartition(parts), ["key"], order, 5)
+        assert _rows(got) == _rows(naive), parts
+
+
+def test_crawl_frontier_semantics(spark):
+    edges = spark.createDataFrame(
+        [
+            # big.example: 3 candidates, one of them crawled
+            ("https://x/1", "https://big.example/a/b/p1"),
+            ("https://x/2", "https://big.example/a/b/p1"),
+            ("https://x/3", "https://big.example/p2"),
+            ("https://x/4", "https://big.example/done"),
+            # tiny.example: no rank row -> host_rank 0
+            ("https://x/5", "https://tiny.example/q"),
+        ],
+        "src string, dst string",
+    )
+    crawled = spark.createDataFrame([("https://big.example/done",)], "url string")
+    ranks = spark.createDataFrame([("big.example", 7)], "host string, rank long")
+    got = {r.url: r for r in crawl_frontier(edges, crawled, ranks, k=2).collect()}
+    assert set(got) == {
+        "https://big.example/a/b/p1",
+        "https://big.example/p2",
+        "https://tiny.example/q",
+    }
+    p1 = got["https://big.example/a/b/p1"]
+    assert (p1.n_inlinks, p1.depth, p1.host_rank) == (2, 3, 7)
+    assert p1.priority == 7 * 1000 + 2 * 10 - 3
+    q = got["https://tiny.example/q"]
+    assert (q.host_rank, q.priority) == (0, 0 * 1000 + 1 * 10 - 1)
+
+
+def test_job_frontier_stage(spark, tmp_path):
+    """--frontier materializes a 'frontier' stage from the job's own
+    link_graph + host_ranks stages, excluding already-crawled urls and
+    cutting to K per host."""
+    import os
+    import sys
+
+    def page(i):
+        # every page links to two c.example leaves and one crawled peer
+        html = (
+            f'<a href="https://c.example/new{i % 4}">n</a>'
+            f'<a href="https://c.example/deep/new{i % 4}">d</a>'
+            f'<a href="https://s{(i + 1) % 2}.example/p{(i + 1) % 6}">peer</a>'
+        ).encode()
+        return (f"https://s{i % 2}.example/p{i % 6}", html, f"Doc {i} MUST parse.", "en")
+
+    rows = [page(i) for i in range(12)]
+    src = str(tmp_path / "pages_src")
+    spark.createDataFrame(rows, "url string, html binary, text string, lang string").write.parquet(src)
+    out = str(tmp_path / "state")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    import run_pipeline
+
+    old = sys.argv
+    try:
+        sys.argv = ["run_pipeline.py", "--pages", src, "--out", out,
+                    "--frontier", "3", "--host-ranks", "2"]
+        run_pipeline.main()
+    finally:
+        sys.argv = old
+    from coap_rfc_knowledge_graph_spark.plans.checkpointing import StageStore
+
+    store = StageStore(out)
+    assert store.has("frontier", params={"frontier": True, "k": 3, "with_ranks": True})
+    got = store.read(spark, "frontier").collect()
+    # peer links point at crawled pages (excluded); all 8 c.example
+    # leaves tie on inlinks (3 each), shallow beats deep via -depth,
+    # and the url-asc tiebreak picks new0..new2 of the 4 shallow ones
+    assert sorted(r.url for r in got) == [f"https://c.example/new{j}" for j in range(3)]
+    assert all(r.host == "c.example" and r.n_inlinks == 3 and r.depth == 1 for r in got)
+
+
+def test_crawl_frontier_k_cut_and_determinism(spark):
+    # 40 candidate urls on one host, distinct inlink counts via
+    # triangular fan-in; k=3 keeps the 3 most-linked
+    edges = spark.range(40).select(
+        F.explode(F.sequence(F.lit(0), F.col("id"))).alias("i"),
+        F.concat(F.lit("https://h.example/f"), F.col("id").cast("string")).alias("dst"),
+    ).select(F.concat(F.lit("https://s/"), F.col("i").cast("string")).alias("src"), "dst")
+    crawled = spark.createDataFrame([], "url string")
+    a = sorted(r.url for r in crawl_frontier(edges.repartition(1), crawled, None, k=3).collect())
+    b = sorted(r.url for r in crawl_frontier(edges.repartition(16), crawled, None, k=3).collect())
+    assert a == b == [
+        "https://h.example/f37",
+        "https://h.example/f38",
+        "https://h.example/f39",
+    ]
