@@ -62,10 +62,13 @@ def crawl_frontier(
     absent from ``host_ranks`` rank 0."""
     from .webtext import url_parts
 
+    # no .distinct() on the crawled side: left_anti tests membership, so
+    # duplicates are harmless and a pre-dedup would add a second full
+    # shuffle+aggregate of a corpus-sized table for nothing
     candidates = (
         edges.groupBy(F.col("dst").alias("url"))
         .agg(F.count(F.lit(1)).alias("n_inlinks"))
-        .join(crawled.select(F.col(url_col).alias("url")).distinct(), "url", "left_anti")
+        .join(crawled.select(F.col(url_col).alias("url")), "url", "left_anti")
     )
     parts = url_parts(candidates, "url")
     scored = parts.select(

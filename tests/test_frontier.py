@@ -103,6 +103,31 @@ def test_job_frontier_stage(spark, tmp_path):
     assert all(r.host == "c.example" and r.n_inlinks == 3 and r.depth == 1 for r in got)
 
 
+def test_crawl_frontier_plan_shape(spark):
+    """Scale guards, pinned on the physical plan: (a) the crawled side
+    feeds the anti-join WITHOUT a pre-dedup aggregate (left_anti tests
+    membership; a distinct would add a second full shuffle of a
+    corpus-sized table), (b) no window runs without a partition spec
+    (a global sort), (c) every window partitions on more than just the
+    host until the bounded level-2 cut."""
+    edges = spark.range(100).select(
+        F.lit("https://s/p").alias("src"),
+        F.concat(F.lit("https://h.example/f"), (F.col("id") % 9).cast("string")).alias("dst"),
+    )
+    crawled = spark.range(10).select(
+        F.concat(F.lit("https://h.example/f"), (F.col("id") % 3).cast("string")).alias("url")
+    )
+    plan = (
+        crawl_frontier(edges, crawled, None, k=2)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # one Aggregate for the inlink count; none on the crawled branch
+    assert plan.count("Aggregate") == 1, plan
+    assert "windowspecdefinition()" not in plan.lower(), plan  # no empty spec
+    # level 1 partitions on (host, __pid); level 2 on host alone
+    assert plan.count("windowspecdefinition") == 2, plan
+
+
 def test_crawl_frontier_k_cut_and_determinism(spark):
     # 40 candidate urls on one host, distinct inlink counts via
     # triangular fan-in; k=3 keeps the 3 most-linked
