@@ -86,9 +86,13 @@ def _gunzip_all(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def parse_warc(data: bytes) -> list[tuple[str, datetime | None, bytes]]:
-    """One WARC file's bytes -> [(url, warc_ts, html_payload)] for the
-    response records. Pure function (no Spark) so tests and the
+def parse_warc(
+    data: bytes, record_types: tuple[str, ...] = ("response",)
+) -> list[tuple[str, datetime | None, bytes]]:
+    """One WARC file's bytes -> [(url, warc_ts, payload)] for records
+    whose ``WARC-Type`` is in ``record_types`` (default: response —
+    the pages-ingest case; pass ``("conversion",)`` to read WET
+    extracted-text files). Pure function (no Spark) so tests and the
     synthesiser share it. Tolerant: a malformed record ends the file's
     parse (truncated tail of an interrupted crawl upload) rather than
     raising — one bad file must cost its remaining records, not the task.
@@ -125,7 +129,7 @@ def parse_warc(data: bytes) -> list[tuple[str, datetime | None, bytes]]:
         if len(body) < length:
             break  # truncated record
         pos = body_start + length
-        if fields.get("warc-type", "").lower() == "response":
+        if fields.get("warc-type", "").lower() in record_types:
             url = fields.get("warc-target-uri", "")
             ts: datetime | None = None
             raw_ts = fields.get("warc-date", "")
@@ -245,3 +249,78 @@ def write_warc(
         out.write(gzip.compress(rec, mtime=0) if compress else rec)
     with open(path, "wb") as fh:
         fh.write(out.getvalue())
+
+
+WET_MANIFEST_SCHEMA = (
+    "path string, n_records bigint, n_bytes bigint"
+)
+
+
+def write_wet(
+    pages: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    compress: bool = True,
+) -> DataFrame:
+    """Extracted-text export as WARC *conversion* records — the
+    Common-Crawl WET product (`*.warc.wet.gz`), closing the archive
+    loop: WARC in (:func:`read_warc`), curated text out in the same
+    family of containers downstream crawlers/tools already consume.
+
+    Distributed sink: EACH TASK writes one ``part-{pid:05d}.warc.wet
+    [.gz]`` segment file (one gzip member per record, CC's splittable
+    layout) — the object-store pattern; nothing funnels through the
+    driver. Returns a lazy one-row-per-partition manifest
+    ``(path, n_records, n_bytes)`` (path NULL for empty partitions);
+    the caller's action on it triggers the write. Rows with NULL text
+    are skipped (WET carries extractions, not absences); a NULL
+    timestamp writes the epoch (WARC-Date is mandatory in the spec).
+
+    Filenames are partition-id-derived, so a retried task OVERWRITES
+    its own file rather than duplicating records — idempotent locally;
+    a production object-store deployment fronts this with the usual
+    temp-name + commit rename.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.wet.gz" if compress else ".warc.wet"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fpath = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        buf = io.BytesIO()
+        n = 0
+        for pdf in batches:
+            for url, ts, text in zip(pdf[url_col], pdf[ts_col], pdf[text_col]):
+                if text is None or url is None:
+                    continue
+                # NULL timestamps arrive as pandas NaT, not None
+                when = datetime(1970, 1, 1) if pd.isna(ts) else ts.to_pydatetime()
+                if when.tzinfo is not None:
+                    when = when.astimezone(timezone.utc).replace(tzinfo=None)
+                payload = str(text).encode("utf-8")
+                head = (
+                    "WARC/1.0\r\n"
+                    "WARC-Type: conversion\r\n"
+                    f"WARC-Target-URI: {url}\r\n"
+                    f"WARC-Date: {when.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+                    "Content-Type: text/plain\r\n"
+                    f"Content-Length: {len(payload)}\r\n\r\n"
+                ).encode()
+                rec = head + payload + _CRLF2
+                buf.write(gzip.compress(rec, mtime=0) if compress else rec)
+                n += 1
+        if n:
+            with open(fpath, "wb") as fh:
+                fh.write(buf.getvalue())
+        yield pd.DataFrame(
+            [(fpath if n else None, n, buf.getbuffer().nbytes)],
+            columns=["path", "n_records", "n_bytes"],
+        )
+
+    return pages.select(url_col, ts_col, text_col).mapInPandas(fn, WET_MANIFEST_SCHEMA)

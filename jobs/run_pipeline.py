@@ -157,6 +157,15 @@ def main() -> None:
         "implies --link-graph",
     )
     ap.add_argument(
+        "--wet-out",
+        metavar="DIR",
+        default=None,
+        help="also export the (curated) pages' text as Common-Crawl-"
+        "style WET files (WARC conversion records, one gzip member per "
+        "record, one segment file per task) into DIR — the archive-"
+        "format product downstream text consumers already read",
+    )
+    ap.add_argument(
         "--frontier",
         type=int,
         nargs="?",
@@ -388,6 +397,18 @@ def main() -> None:
             pages = store0.write(
                 apply_prepasses(pages), "curated_pages", inputs=["pages"], params=prepass_params
             )
+    if args.wet_out:
+        from pyspark.sql import functions as _F
+
+        from coap_rfc_knowledge_graph_spark.sources.warc import write_wet
+
+        wet_pages = pages
+        if "warc_ts" not in wet_pages.columns:
+            wet_pages = wet_pages.withColumn("warc_ts", _F.lit(None).cast("timestamp"))
+        manifest = write_wet(wet_pages, args.wet_out).collect()
+        n_rec = sum(r.n_records for r in manifest)
+        n_files = sum(1 for r in manifest if r.path)
+        print(f"wet_out: files={n_files} records={n_rec} dir={args.wet_out}")
     store = run_resumable(spark, pages, args.out, url_partitions=args.url_partitions)
     report = (["link_graph"] if args.link_graph else []) + (
         ["host_ranks"] if args.host_ranks is not None else []

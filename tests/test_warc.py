@@ -268,3 +268,88 @@ def test_warc_date_with_offset_normalizes_to_utc():
     )
     got = parse_warc(rec)
     assert got[0][1] == datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def test_write_wet_roundtrip(spark, tmp_path):
+    """The WET sink closes the archive loop: pages out as WARC
+    conversion records, read back byte-identically by the repo's own
+    parser with record_types=('conversion',)."""
+    from coap_rfc_knowledge_graph_spark.sources.warc import write_wet
+
+    rows = [
+        ("https://a.example/one", datetime(2024, 3, 1, 12, tzinfo=timezone.utc),
+         "Extracted text one.\n\nSecond paragraph — naïve café."),
+        ("https://b.example/two", None, "Short."),
+        ("https://c.example/null", datetime(2024, 3, 2, tzinfo=timezone.utc), None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = str(tmp_path / "wet")
+    manifest = write_wet(pages.repartition(2), out).collect()
+    files = sorted(r.path for r in manifest if r.path)
+    assert files and all(p.endswith(".warc.wet.gz") for p in files)
+    assert sum(r.n_records for r in manifest) == 2  # NULL-text row skipped
+    got = []
+    for p in files:
+        with open(p, "rb") as fh:
+            got.extend(parse_warc(fh.read(), record_types=("conversion",)))
+    by_url = {u: (ts, payload) for u, ts, payload in got}
+    assert set(by_url) == {"https://a.example/one", "https://b.example/two"}
+    ts1, body1 = by_url["https://a.example/one"]
+    assert body1.decode() == rows[0][2]  # byte-identical text incl. unicode
+    assert ts1 == rows[0][1]
+    ts2, body2 = by_url["https://b.example/two"]
+    assert body2 == b"Short." and ts2 == datetime(1970, 1, 1, tzinfo=timezone.utc)
+    # the default reader must NOT see conversion records as pages
+    with open(files[0], "rb") as fh:
+        assert parse_warc(fh.read()) == []
+
+
+def test_write_wet_uncompressed_and_empty_partitions(spark, tmp_path):
+    from coap_rfc_knowledge_graph_spark.sources.warc import write_wet
+
+    pages = spark.createDataFrame(
+        [("https://a.example/x", datetime(2024, 1, 1, tzinfo=timezone.utc), "t")],
+        "url string, warc_ts timestamp, text string",
+    )
+    out = str(tmp_path / "wet_plain")
+    manifest = write_wet(pages.repartition(8), out, compress=False).collect()
+    assert len(manifest) == 8
+    written = [r for r in manifest if r.path]
+    assert len(written) == 1 and written[0].n_records == 1
+    assert all(r.path is None and r.n_records == 0 for r in manifest if not r.path)
+    with open(written[0].path, "rb") as fh:
+        data = fh.read()
+    assert data.startswith(b"WARC/1.0\r\nWARC-Type: conversion")
+    assert parse_warc(data, record_types=("conversion",))[0][2] == b"t"
+
+
+def test_job_wet_out(spark, tmp_path):
+    """--wet-out exports the curated pages as WET segment files the
+    repo's own parser reads back."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+    )
+    import run_pipeline
+
+    rows = [
+        (f"https://s{i}.example/p", None,
+         f"The CoAP client MUST retry request number {i} after a timeout.", "en")
+        for i in range(6)
+    ]
+    src = str(tmp_path / "pages_src")
+    spark.createDataFrame(rows, "url string, html binary, text string, lang string").write.parquet(src)
+    out = str(tmp_path / "state")
+    wet = str(tmp_path / "wet")
+    old = sys.argv
+    try:
+        sys.argv = ["run_pipeline.py", "--pages", src, "--out", out, "--wet-out", wet]
+        run_pipeline.main()
+    finally:
+        sys.argv = old
+    got = []
+    for name in sorted(os.listdir(wet)):
+        with open(os.path.join(wet, name), "rb") as fh:
+            got.extend(parse_warc(fh.read(), record_types=("conversion",)))
+    assert sorted(u for u, _, _ in got) == sorted(r[0] for r in rows)
+    texts = {u: p.decode() for u, _, p in got}
+    assert texts["https://s3.example/p"] == rows[3][2]
