@@ -728,6 +728,30 @@ def q_frontier_topk(spark, sf_dir):
     return crawl_frontier(edges, crawled, ranks, k=3)
 
 
+def q_crawl_schedule(spark, sf_dir):
+    """Politeness scheduling over the frontier_topk world: per-host
+    Crawl-delay values round-trip through REAL robots.txt payloads
+    (codegen-built, parsed by parse_crawl_delays — decimal seconds to
+    exact BIGINT millis), hosts without a robots delay fall back to
+    the 1000 ms default, and fetch_at_ms spaces each host's fetches
+    delay_millis apart in (priority desc, url asc) order. The per-host
+    window is bounded by the frontier's k=3 cut, so it is safe at any
+    corpus size."""
+    from coap_rfc_knowledge_graph_spark.operators.frontier import schedule_fetches
+    from coap_rfc_knowledge_graph_spark.operators.robots import parse_crawl_delays
+
+    frontier = q_frontier_topk(spark, sf_dir)
+    h = F.col("id")
+    robots = spark.range(11).filter(h % 3 != 0).select(
+        F.concat(F.lit("t"), h.cast("string"), F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "), (h % 4).cast("string"),
+            F.lit("."), (h % 10).cast("string"), F.lit("\nDisallow: /private\n"),
+        ).alias("payload"),
+    )
+    return schedule_fetches(frontier, parse_crawl_delays(robots), default_delay_ms=1000)
+
+
 def q_nsp_pairs(spark, sf_dir):
     """M11 data-prep: NSP sentence-pair generation over documents —
     per-doc lead() next sentence vs congruential-draw random partner
@@ -1657,6 +1681,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "sitemap_urls": q_sitemap_urls,
         "frontier_topk": q_frontier_topk,
+        "crawl_schedule": q_crawl_schedule,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,
@@ -2239,6 +2264,41 @@ def _coref_native_sql() -> str:
     """
 
 
+# shared by frontier_topk and crawl_schedule: the frontier world up to
+# the per-host rank (the SELECT over `ranked` differs per query)
+_FRONTIER_CTE = """e AS (
+              SELECT 't' || CAST((doc_id * 3 + 1) % 11 AS VARCHAR) || '.example' AS host,
+                     'https://t' || CAST((doc_id * 3 + 1) % 11 AS VARCHAR) || '.example' ||
+                     CASE WHEN doc_id % 2 = 0 THEN '/a/f' ELSE '/f' END ||
+                     CAST(doc_id % 50 AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS depth,
+                     doc_id % 50 AS leaf
+              FROM documents
+            ),
+            cand AS (
+              SELECT host, url, CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+                     CAST(MIN(depth) AS BIGINT) AS depth, MIN(leaf) AS leaf
+              FROM e GROUP BY host, url
+            ),
+            rnk AS (
+              SELECT 't' || CAST(h AS VARCHAR) || '.example' AS host,
+                     CAST((h * 37) % 100 AS BIGINT) AS rank
+              FROM range(9) t(h)
+            ),
+            scored AS (
+              SELECT c.host, c.url, c.n_inlinks, c.depth,
+                     COALESCE(rnk.rank, 0) AS host_rank,
+                     COALESCE(rnk.rank, 0) * 1000 + c.n_inlinks * 10 - c.depth AS priority
+              FROM cand c LEFT JOIN rnk USING (host)
+              WHERE c.leaf % 4 <> 0
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY host ORDER BY priority DESC, url ASC
+              ) AS rk FROM scored
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     modal = r"(?i)\b(must|shall|should|required|recommended|may|optional|stream|window)\b"
     native_ctes = _native_triples_ctes()
@@ -2580,40 +2640,27 @@ def oracle_sql() -> dict[str, str]:
                    lastmod, NULL, NULL
             FROM d WHERE doc_id % 5 = 0
         """,
-        "frontier_topk": """
-            WITH e AS (
-              SELECT 't' || CAST((doc_id * 3 + 1) % 11 AS VARCHAR) || '.example' AS host,
-                     'https://t' || CAST((doc_id * 3 + 1) % 11 AS VARCHAR) || '.example' ||
-                     CASE WHEN doc_id % 2 = 0 THEN '/a/f' ELSE '/f' END ||
-                     CAST(doc_id % 50 AS VARCHAR) AS url,
-                     CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS depth,
-                     doc_id % 50 AS leaf
-              FROM documents
-            ),
-            cand AS (
-              SELECT host, url, CAST(COUNT(*) AS BIGINT) AS n_inlinks,
-                     CAST(MIN(depth) AS BIGINT) AS depth, MIN(leaf) AS leaf
-              FROM e GROUP BY host, url
-            ),
-            r AS (
-              SELECT 't' || CAST(h AS VARCHAR) || '.example' AS host,
-                     CAST((h * 37) % 100 AS BIGINT) AS rank
-              FROM range(9) t(h)
-            ),
-            scored AS (
-              SELECT c.host, c.url, c.n_inlinks, c.depth,
-                     COALESCE(r.rank, 0) AS host_rank,
-                     COALESCE(r.rank, 0) * 1000 + c.n_inlinks * 10 - c.depth AS priority
-              FROM cand c LEFT JOIN r USING (host)
-              WHERE c.leaf % 4 <> 0
-            ),
-            ranked AS (
-              SELECT *, row_number() OVER (
-                PARTITION BY host ORDER BY priority DESC, url ASC
-              ) AS rk FROM scored
-            )
+        "frontier_topk": f"""
+            WITH {_FRONTIER_CTE}
             SELECT host, url, n_inlinks, depth, host_rank, priority
             FROM ranked WHERE rk <= 3
+        """,
+        "crawl_schedule": f"""
+            WITH {_FRONTIER_CTE},
+            f AS (
+              SELECT host, url, priority FROM ranked WHERE rk <= 3
+            ),
+            d AS (
+              SELECT 't' || CAST(h AS VARCHAR) || '.example' AS host,
+                     CAST((h % 4) * 1000 + (h % 10) * 100 AS BIGINT) AS delay_millis
+              FROM range(11) t(h) WHERE h % 3 <> 0
+            )
+            SELECT f.host, f.url, f.priority,
+                   COALESCE(d.delay_millis, 1000) AS delay_millis,
+                   CAST((row_number() OVER (
+                     PARTITION BY f.host ORDER BY f.priority DESC, f.url ASC
+                   ) - 1) * COALESCE(d.delay_millis, 1000) AS BIGINT) AS fetch_at_ms
+            FROM f LEFT JOIN d USING (host)
         """,
         "weburl_domain_filter": f"""
             WITH {_WEBURL_CTE},

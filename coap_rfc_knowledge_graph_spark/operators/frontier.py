@@ -100,3 +100,41 @@ def crawl_frontier(
     return two_level_topk_per_key(
         scored, ["host"], [F.desc("priority"), F.asc("url")], k
     )
+
+
+def schedule_fetches(
+    frontier: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay_ms: int = 1000,
+) -> DataFrame:
+    """Politeness scheduling over a :func:`crawl_frontier` output:
+    adds ``fetch_at_ms`` — the host-relative fetch offset spacing
+    requests ``delay_millis`` apart in priority order (the de-facto
+    Crawl-delay contract; see ``robots.parse_crawl_delays``). Hosts
+    absent from ``delays`` use ``default_delay_ms``.
+
+        fetch_at_ms = (rank_within_host - 1) * delay_millis
+
+    The per-host window here is SAFE at any corpus size — unlike the
+    pre-cut candidate set, the frontier is already bounded to k rows
+    per host by construction, so the window input per key is k, not
+    the head host's fan-in. All BIGINT, total order (priority desc,
+    url asc): engine-exact."""
+    from pyspark.sql import Window
+
+    out = frontier
+    if delays is not None:
+        out = out.join(delays.select("host", "delay_millis"), "host", "left")
+    else:
+        out = out.withColumn("delay_millis", F.lit(None).cast("long"))
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    return out.select(
+        "host",
+        "url",
+        "priority",
+        F.coalesce("delay_millis", F.lit(default_delay_ms)).alias("delay_millis"),
+        (
+            (F.row_number().over(w) - 1)
+            * F.coalesce("delay_millis", F.lit(default_delay_ms))
+        ).cast("long").alias("fetch_at_ms"),
+    )

@@ -143,3 +143,25 @@ def test_crawl_frontier_k_cut_and_determinism(spark):
         "https://h.example/f38",
         "https://h.example/f39",
     ]
+
+
+def test_schedule_fetches(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("a.example", "https://a.example/1", 900),
+            ("a.example", "https://a.example/2", 500),
+            ("a.example", "https://a.example/3", 500),  # tie -> url asc
+            ("b.example", "https://b.example/1", 100),
+        ],
+        "host string, url string, priority long",
+    )
+    delays = spark.createDataFrame([("a.example", 2000)], "host string, delay_millis long")
+    from coap_rfc_knowledge_graph_spark.operators.frontier import schedule_fetches
+
+    got = {r.url: r for r in schedule_fetches(frontier, delays, default_delay_ms=700).collect()}
+    assert got["https://a.example/1"].fetch_at_ms == 0
+    assert got["https://a.example/2"].fetch_at_ms == 2000
+    assert got["https://a.example/3"].fetch_at_ms == 4000
+    # b.example has no delay row: default applies
+    assert (got["https://b.example/1"].delay_millis,
+            got["https://b.example/1"].fetch_at_ms) == (700, 0)

@@ -164,3 +164,32 @@ def test_job_robots_and_delta_prepasses(spark, tmp_path):
     # p/1 unchanged -> dropped; p/2 changed + p/3 added -> kept;
     # b.example/blocked/1 is new but robots-disallowed -> dropped
     assert out == ["https://a.example/p/2", "https://a.example/p/3"]
+
+
+def test_parse_crawl_delay_text():
+    from coap_rfc_knowledge_graph_spark.operators.robots import parse_crawl_delay_text
+
+    body = (
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+        "User-agent: mybot\nCrawl-delay: 0.5\n\n"
+        "User-agent: otherbot\nCrawl-delay: 99\n"
+    )
+    assert parse_crawl_delay_text(body) == 2000
+    # mybot matches BOTH its own group and *: max (conservative) wins
+    assert parse_crawl_delay_text(body, agent="mybot") == 2000
+    assert parse_crawl_delay_text("User-agent: mybot\nCrawl-delay: 0.5\n", "mybot") == 500
+    assert parse_crawl_delay_text("User-agent: *\nCrawl-delay: soon\n") is None
+    assert parse_crawl_delay_text("Crawl-delay: 3\n") is None  # no open group
+
+
+def test_parse_crawl_delays_spark(spark):
+    from coap_rfc_knowledge_graph_spark.operators.robots import parse_crawl_delays
+
+    rows = [
+        ("a.example", b"User-agent: *\nCrawl-delay: 1.25\n"),
+        ("b.example", b"User-agent: *\nDisallow: /\n"),  # no delay -> no row
+        ("c.example", None),
+    ]
+    df = spark.createDataFrame(rows, "host string, payload binary")
+    got = parse_crawl_delays(df).collect()
+    assert [(r.host, r.delay_millis) for r in got] == [("a.example", 1250)]
