@@ -79,7 +79,7 @@ def two_level_topk(df: DataFrame, order_by: list, k: int) -> DataFrame:
 
 
 def two_level_topk_per_key(
-    df: DataFrame, key_cols: list[str], order_by: list, k: int
+    df: DataFrame, key_cols: list[str], order_by: list, k: int, rank_col: str | None = None
 ) -> DataFrame:
     """Top-k PER KEY under ``order_by`` without funneling a head key
     through one task: a plain ``Window.partitionBy(key)`` sorts ALL of
@@ -91,7 +91,8 @@ def two_level_topk_per_key(
     cell; level 2 re-ranks the <= k * n_partitions survivors per key,
     bounded by construction. Exactly equal to the naive per-key window,
     tie-breaks included (``order_by`` must be a deterministic total
-    order within each key)."""
+    order within each key). Pass ``rank_col`` to keep the 1-based
+    within-key rank on the output."""
     per_cell = Window.partitionBy(*key_cols, "__pid").orderBy(*order_by)
     candidates = (
         df.withColumn("__pid", F.spark_partition_id())
@@ -100,10 +101,26 @@ def two_level_topk_per_key(
         .drop("__pid", "__r")
     )
     final = Window.partitionBy(*key_cols).orderBy(*order_by)
+    out = candidates.withColumn("__r", F.row_number().over(final)).filter(F.col("__r") <= k)
+    return out.withColumnRenamed("__r", rank_col) if rank_col else out.drop("__r")
+
+
+def zip_with_rank_per_key(
+    df: DataFrame, key_cols: list[str], order_cols: list[str], idx_col: str = "idx"
+) -> DataFrame:
+    """Add ``idx_col``: the 0-based rank of each row WITHIN its key
+    under ``order_cols`` — without a per-key window (which sorts a
+    head key in one task). Shape: one global :func:`zip_with_rank`
+    over (key, order) — range-partitioned, no single-task stage — then
+    subtract each key's minimum global rank (a key-sized aggregate).
+    (key_cols + order_cols) must be a unique row key, same as
+    :func:`zip_with_rank`'s determinism requirement."""
+    ranked = zip_with_rank(df, [*key_cols, *order_cols], idx_col="__g")
+    offsets = ranked.groupBy(*key_cols).agg(F.min("__g").alias("__o"))
     return (
-        candidates.withColumn("__r", F.row_number().over(final))
-        .filter(F.col("__r") <= k)
-        .drop("__r")
+        ranked.join(offsets, on=key_cols)
+        .withColumn(idx_col, (F.col("__g") - F.col("__o")).cast("long"))
+        .drop("__g", "__o")
     )
 
 

@@ -333,22 +333,24 @@ def anchor_text_stats(edges: DataFrame, k_anchors: int = 5) -> DataFrame:
     """Edge table -> per-target anchor-text profile: (dst, n_links,
     n_anchors, top_anchors) — the classic anchor-pretraining /
     retrieval signal (what the web calls this page). Two hash
-    aggregations + a per-DST window for the top-k (ties broken
-    lexicographically, so output is deterministic); the window sorts
-    one target's distinct anchors, bounded by anchor vocabulary per
-    page, never corpus size."""
-    from pyspark.sql import Window
+    aggregations + a skew-safe two-level per-dst top-k (ties broken
+    lexicographically, so output is deterministic). A plain per-dst
+    window would sort a HEAD target's distinct anchors in one task —
+    a page the whole web links to accumulates a corpus-scale anchor
+    vocabulary, so the cut uses ``ranking.two_level_topk_per_key``
+    (exactly equal, tie-breaks included)."""
+    from ..functions.ranking import two_level_topk_per_key
 
-    # counts has two consumers (top-k window + stats agg); truncate
-    # lineage so the upstream edge derivation — e.g. a per-page HTML
-    # parse when fed by html_links — evaluates once, not twice.
+    # counts has two consumers (top-k + stats agg); truncate lineage
+    # so the upstream edge derivation — e.g. a per-page HTML parse
+    # when fed by html_links — evaluates once, not twice.
     counts = (
         edges.groupBy("dst", "anchor")
         .agg(F.count("*").alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("anchor"))
-    ranked = counts.withColumn("rk", F.row_number().over(w))
+    order = [F.desc("cnt"), F.asc("anchor")]
+    ranked = two_level_topk_per_key(counts, ["dst"], order, k_anchors, rank_col="rk")
     top = (
         ranked.filter(F.col("rk") <= k_anchors)
         .groupBy("dst")

@@ -156,11 +156,18 @@ def negative_samples_typed(
     preds = zip_with_rank(t.select("pred").distinct(), ["pred"], idx_col="pred_code")
 
     def ranked_side(col: str, side: str) -> DataFrame:
-        w = Window.partitionBy("pred").orderBy("entity_id")
-        return (
-            t.select("pred", F.col(col).alias("entity_id"))
-            .distinct()
-            .withColumn(f"{side}_rank", F.row_number().over(w) - 1)
+        # per-pred dense 0-based rank WITHOUT Window.partitionBy(pred):
+        # a head predicate's domain is entity-vocabulary-sized, so the
+        # per-key window would sort it in ONE task; the two-stage
+        # global rank + per-pred offset is exactly equal and never
+        # concentrates a key (the same skew class as salted_top1)
+        from ..functions.ranking import zip_with_rank_per_key
+
+        return zip_with_rank_per_key(
+            t.select("pred", F.col(col).alias("entity_id")).distinct(),
+            ["pred"],
+            ["entity_id"],
+            idx_col=f"{side}_rank",
         )
 
     dom = ranked_side("subj_id", "dom")

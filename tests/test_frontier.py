@@ -165,3 +165,26 @@ def test_schedule_fetches(spark):
     # b.example has no delay row: default applies
     assert (got["https://b.example/1"].delay_millis,
             got["https://b.example/1"].fetch_at_ms) == (700, 0)
+
+
+def test_zip_with_rank_per_key_equals_naive_window(spark):
+    """Per-key dense rank without a per-key window: exactly the naive
+    row_number()-1 per key, at several partitionings, with a 50%-skew
+    head key."""
+    from coap_rfc_knowledge_graph_spark.functions.ranking import zip_with_rank_per_key
+
+    df = spark.range(2000).select(
+        F.when(F.col("id") % 2 == 0, "head")
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 5 + 1).cast("string")))
+        .alias("key"),
+        ((F.col("id") * 48271) % 100000).alias("ent"),
+    ).distinct()
+    naive = df.withColumn(
+        "idx",
+        F.row_number().over(Window.partitionBy("key").orderBy("ent")).cast("long") - 1,
+    )
+    for parts in (1, 7, 32):
+        got = zip_with_rank_per_key(df.repartition(parts), ["key"], ["ent"])
+        assert _rows(got.select("key", "ent", "idx")) == _rows(
+            naive.select("key", "ent", "idx")
+        ), parts
