@@ -54,17 +54,19 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbours per query:
     (query_id, rank, vec_id, cosine). Query side is broadcast (queries
-    are the small side in retrieval); the rank window partitions by
-    query — uniform keys, no skew."""
+    are the small side in retrieval). Keys are uniform but each
+    query's candidate set is the WHOLE corpus, so a per-query window
+    would sort corpus-sized partitions one task each — the cut is the
+    skew-safe two-level per-key top-k instead (exactly equal,
+    tie-breaks included)."""
+    from ..functions.ranking import two_level_topk_per_key
+
     c = corpus.select(F.col(corpus_id).alias("vec_id"), unit_expr(F.col(corpus_vec)).alias("cv"))
     q = queries.select(F.col(query_id).alias("query_id"), unit_expr(F.col(query_vec)).alias("qv"))
     scored = c.join(F.broadcast(q)).withColumn("cosine", dot_expr("cv", "qv"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", F.col("cosine").cast("double").alias("cosine"))
-    )
+    return two_level_topk_per_key(
+        scored, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k, rank_col="rank"
+    ).select("query_id", "rank", "vec_id", F.col("cosine").cast("double").alias("cosine"))
 
 
 # --- exact: broadcast matmul --------------------------------------------------
@@ -277,12 +279,13 @@ def ivf_topk_native(
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("idot", idot)
     )
-    wk = Window.partitionBy("query_id").orderBy(F.desc("idot"), F.asc("vec_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "idot")
-    )
+    # a probed cell holds a corpus-fraction of vectors, so the per-query
+    # candidate set grows with the corpus: two-level cut, not a window
+    from ..functions.ranking import two_level_topk_per_key
+
+    return two_level_topk_per_key(
+        cand, ["query_id"], [F.desc("idot"), F.asc("vec_id")], k, rank_col="rank"
+    ).select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "idot")
 
 
 def quantize_embeddings(emb: DataFrame) -> DataFrame:
