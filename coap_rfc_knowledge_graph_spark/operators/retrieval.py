@@ -27,7 +27,7 @@ Scale shape (10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 IDF_SCALE = 1_000_000
@@ -86,9 +86,12 @@ def lexical_topk(
         .groupBy("query_id", id_col)
         .agg(F.sum("w").alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", F.col(id_col).alias("doc_id"), "score")
-    )
+    # a query matching a common term (especially with no max_df cut)
+    # has corpus-scale candidates, so the cut is the skew-safe
+    # two-level per-key top-k, not a per-query window sorting one
+    # query's whole candidate set in a single task
+    from ..functions.ranking import two_level_topk_per_key
+
+    return two_level_topk_per_key(
+        scored, ["query_id"], [F.desc("score"), F.asc(id_col)], k, rank_col="rank"
+    ).select("query_id", "rank", F.col(id_col).alias("doc_id"), "score")
