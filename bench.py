@@ -200,6 +200,41 @@ def main() -> None:
             repeat=2,
         )
 
+        # round-5 tail: frontier + sitemap at contract scale (data-bound
+        # evidence lives in BENCH/FRONTIER_SCALE.json / SCALING_FRONTIER*)
+        from coap_rfc_knowledge_graph_spark.operators.frontier import crawl_frontier
+        from coap_rfc_knowledge_graph_spark.operators.sitemap import parse_sitemaps
+
+        fr_edges = docs.select(
+            F.concat(F.lit("https://s"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".example/p")).alias("src"),
+            F.concat(
+                F.lit("https://t"), (F.col("doc_id") % 97).cast("string"),
+                F.lit(".example/f"), (F.col("doc_id") % 500).cast("string"),
+            ).alias("dst"),
+        )
+        timed(
+            "crawl_frontier",
+            lambda: crawl_frontier(fr_edges, wpages.select("url"), None, k=10).count(),
+            repeat=2,
+        )
+        sm = docs.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"), F.lit(".example")).alias("host"),
+            F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                      "<url><loc>https://x.example/p"),
+                F.col("doc_id").cast("string"),
+                F.lit("</loc><priority>0.5</priority></url><url><loc>https://x.example/q"),
+                F.col("doc_id").cast("string"),
+                F.lit("</loc></url></urlset>"),
+            ).alias("payload"),
+        )
+        timed(
+            "sitemap_parse",
+            lambda: parse_sitemaps(sm).agg(F.sum("priority_millis")).collect(),
+            repeat=2,
+        )
+
         # round-4 additions: graph analytics + curation scoring ops
         from coap_rfc_knowledge_graph_spark.operators.corpus_lm import (
             lm_coverage,
