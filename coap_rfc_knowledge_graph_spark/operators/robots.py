@@ -153,6 +153,47 @@ def parse_crawl_delays(
     )
 
 
+def parse_sitemap_urls(
+    robots: DataFrame, host_col: str = "host", payload_col: str = "payload"
+) -> DataFrame:
+    """(host, payload) robots files -> (host, sitemap_url): the
+    ``Sitemap:`` directive (RFC 9309 §2.3 treats it as an extension
+    line; it is group-INDEPENDENT, so every occurrence counts
+    regardless of User-agent context). Feeds
+    :func:`operators.sitemap.parse_sitemaps` — robots discovers the
+    sitemaps, the sitemap parser turns them into frontier candidates.
+    Arrow-batched mapInPandas, zero shuffle; duplicate directives in
+    one file are kept once (first occurrence)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, urls = [], []
+            for host, payload in zip(pdf[host_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                text = (
+                    bytes(payload).decode("utf-8", errors="replace")
+                    if isinstance(payload, (bytes, bytearray))
+                    else str(payload)
+                )
+                seen: set[str] = set()
+                for raw in text.splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    field, sep, value = line.partition(":")
+                    if not sep or field.strip().lower() != "sitemap":
+                        continue
+                    value = value.strip()
+                    if value and value not in seen:
+                        seen.add(value)
+                        hosts.append(host)
+                        urls.append(value)
+            yield pd.DataFrame({"host": hosts, "sitemap_url": urls})
+
+    return robots.select(host_col, payload_col).mapInPandas(
+        fn, "host string, sitemap_url string"
+    )
+
+
 def parse_robots(robots: DataFrame, agent: str = "*", host_col: str = "host",
                  payload_col: str = "payload") -> DataFrame:
     """(host, payload) robots files -> (host, allow, path_prefix) rules
