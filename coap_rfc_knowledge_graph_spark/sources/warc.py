@@ -304,10 +304,15 @@ def write_wet(
                 if when.tzinfo is not None:
                     when = when.astimezone(timezone.utc).replace(tzinfo=None)
                 payload = str(text).encode("utf-8")
+                # a url carrying CR/LF would inject header lines and
+                # break record framing (WARC forbids them in the
+                # target-URI, but an export sink must not trust crawled
+                # urls): percent-encode the two control bytes
+                safe_url = str(url).replace("\r", "%0D").replace("\n", "%0A")
                 head = (
                     "WARC/1.0\r\n"
                     "WARC-Type: conversion\r\n"
-                    f"WARC-Target-URI: {url}\r\n"
+                    f"WARC-Target-URI: {safe_url}\r\n"
                     f"WARC-Date: {when.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
                     "Content-Type: text/plain\r\n"
                     f"Content-Length: {len(payload)}\r\n\r\n"

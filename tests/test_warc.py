@@ -353,3 +353,22 @@ def test_job_wet_out(spark, tmp_path):
     assert sorted(u for u, _, _ in got) == sorted(r[0] for r in rows)
     texts = {u: p.decode() for u, _, p in got}
     assert texts["https://s3.example/p"] == rows[3][2]
+
+
+def test_write_wet_sanitizes_crlf_in_url(spark, tmp_path):
+    """A url carrying CR/LF must not inject WARC header lines."""
+    from coap_rfc_knowledge_graph_spark.sources.warc import write_wet
+
+    evil = "https://a.example/x\r\nWARC-Type: warcinfo\r\nX: y"
+    pages = spark.createDataFrame(
+        [(evil, datetime(2024, 1, 1, tzinfo=timezone.utc), "body")],
+        "url string, warc_ts timestamp, text string",
+    )
+    out = str(tmp_path / "wet")
+    manifest = write_wet(pages.coalesce(1), out).collect()
+    path = next(r.path for r in manifest if r.path)
+    with open(path, "rb") as fh:
+        recs = parse_warc(fh.read(), record_types=("conversion",))
+    assert len(recs) == 1
+    url, _, body = recs[0]
+    assert "%0D%0A" in url and "\r" not in url and body == b"body"
