@@ -752,6 +752,73 @@ def q_crawl_schedule(spark, sf_dir):
     return schedule_fetches(frontier, parse_crawl_delays(robots), default_delay_ms=1000)
 
 
+_LANG_SENTENCES = [
+    ("en", "The meaning of the information and the running of things."),
+    ("de", "Der Unterschied zwischen der Einrichtung und dem Licht ist nicht wichtig."),
+    ("fr", "Les questions et les chaleurs que des entiers auront toujours."),
+    ("es", "La nacion quiere que los colores hayan adelantado por completo."),
+    ("it", "Ogni persona che ha la dimensione della creazione per il colore."),
+    ("pt", "A criacao de que os contos da paragem para a nacao."),
+    ("und", "xqz kjv wfp zzz 123"),
+]
+
+
+def q_lang_ngram(spark, sf_dir):
+    """Char-trigram language ID (Cavnar-Trenkle-style profiles over 6
+    languages) — the brief's 'n-gram heuristic' proper, next to the
+    word-level stopword classifier. One natural sentence per language
+    keyed by doc_id % 7 (the 7th is junk -> 'und'); scoring is
+    presence-counting of literal profile trigrams in the space-padded
+    lowercase prefix, so every value is an exact integer and the
+    DuckDB oracle rebuilds the identical scoring from the SAME
+    LANG_TRIGRAMS dict (ASCII-only sentences here: the oracle contract
+    pins the classifier, not lower()'s accent dialect, which the
+    U+0130 caveat in operators/corpus_lm.py already documents)."""
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import lang_ngram
+
+    d = F.col("doc_id")
+    text = F.lit(_LANG_SENTENCES[-1][1])
+    for i, (_, s) in enumerate(_LANG_SENTENCES[:-1]):
+        text = F.when(d % 7 == i, s).otherwise(text)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+    return lang_ngram(docs)
+
+
+def _lang_ngram_sql() -> str:
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import LANG_TRIGRAMS
+
+    cases = " ".join(
+        f"WHEN doc_id % 7 = {i} THEN '{s}'" for i, (_, s) in enumerate(_LANG_SENTENCES[:-1])
+    )
+    hit_cols = ", ".join(
+        "CAST(len(list_filter(["
+        + ", ".join("'" + t + "'" for t in grams)
+        + f"], t -> contains(padded, t))) AS BIGINT) AS hits_{lang}"
+        for lang, grams in sorted(LANG_TRIGRAMS.items())
+    )
+    langs = sorted(LANG_TRIGRAMS)
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    pick = " ".join(f"WHEN hits_{lang} = __best THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE {cases} ELSE '{_LANG_SENTENCES[-1][1]}' END AS text
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, text,
+                 ' ' || lower(substr(text, 1, 1000)) || ' ' AS padded
+          FROM d
+        ),
+        h AS (SELECT doc_id, text, {hit_cols} FROM p),
+        b AS (SELECT *, {best} AS __best FROM h)
+        SELECT doc_id, text,
+               {", ".join(f"hits_{lang}" for lang in langs)},
+               CASE WHEN __best < 2 THEN 'und' {pick} ELSE 'und' END AS lang_ngram
+        FROM b
+    """
+
+
 def q_nsp_pairs(spark, sf_dir):
     """M11 data-prep: NSP sentence-pair generation over documents —
     per-doc lead() next sentence vs congruential-draw random partner
@@ -1682,6 +1749,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "frontier_topk": q_frontier_topk,
         "crawl_schedule": q_crawl_schedule,
+        "lang_ngram": q_lang_ngram,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,
@@ -2615,6 +2683,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p LEFT JOIN best USING (url)
         """,
         "script_profile": _script_profile_sql(),
+        "lang_ngram": _lang_ngram_sql(),
         "sitemap_urls": """
             WITH d AS (
               SELECT doc_id,

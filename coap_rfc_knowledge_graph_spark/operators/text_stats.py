@@ -56,6 +56,61 @@ def detect_language(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("lang_pred", language_id_expr(F.col(text_col)))
 
 
+# Cavnar-Trenkle-style char-trigram profiles (the brief's "n-gram
+# heuristic" proper — catches languages even where word boundaries or
+# stopword spelling drift). Hand-picked high-frequency function-word
+# trigrams; space marks a word boundary (the text is space-padded
+# before matching). SHARED with the DuckDB oracle builder in
+# __spark_entry__.py — change both together (they import this dict).
+LANG_TRIGRAMS = {
+    "de": [" de", "der", "die", " di", "und", " un", "sch", "ich", "cht", "ein", "ung"],
+    "en": [" th", "the", "he ", " an", "and", "ing", "ng ", " of", "of ", "ion", "tio"],
+    "es": [" de", "de ", "que", " qu", "ión", "los", " lo", " la", "ado", "nte", "por"],
+    "fr": [" le", "les", " de", "des", "ent", " et", "que", " qu", "ait", "eur", "ons"],
+    "it": [" di", "che", " ch", "zio", "ion", "gli", " co", "ell", "lla", "ogn", "per"],
+    "pt": [" de", "que", " qu", "ção", "ão ", " co", "da ", "nto", "ent", " pa", "ara"],
+}
+
+
+def lang_ngram_expr(text_col: Column, prefix_chars: int = 1000, min_hits: int = 2):
+    """(per-language trigram hit-count dict, best-language Column).
+
+    hits[lang] = how many of the language's profile trigrams occur in
+    the space-padded lowercase first ``prefix_chars`` chars (presence,
+    not frequency — integer, engine-exact). Best language = max hits,
+    ties to the lexicographically SMALLEST language code, 'und' below
+    ``min_hits``. Pure codegen (contains() over literal arrays), zero
+    shuffle, prefix-bounded so cost is O(1) per row regardless of
+    document length."""
+    padded = F.concat(F.lit(" "), F.lower(F.substring(text_col, 1, prefix_chars)), F.lit(" "))
+    hits = {
+        lang: F.size(
+            F.filter(
+                F.array(*[F.lit(t) for t in grams]), lambda t: F.contains(padded, t)
+            )
+        )
+        for lang, grams in LANG_TRIGRAMS.items()
+    }
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # reversed-sorted so the lexicographically smallest code wins ties
+    for lang in sorted(LANG_TRIGRAMS, reverse=True):
+        expr = F.when((hits[lang] >= min_hits) & (hits[lang] == best), lang).otherwise(expr)
+    return hits, expr
+
+
+def lang_ngram(
+    docs: DataFrame, text_col: str = "text", prefix_chars: int = 1000, min_hits: int = 2
+) -> DataFrame:
+    """Adds hits_<lang> per profile language and ``lang_ngram`` (the
+    argmax, 'und' when nothing clears ``min_hits``)."""
+    hits, best = lang_ngram_expr(F.col(text_col), prefix_chars, min_hits)
+    out = docs
+    for lang in sorted(hits):
+        out = out.withColumn(f"hits_{lang}", hits[lang].cast("long"))
+    return out.withColumn("lang_ngram", best)
+
+
 # --- quality scoring ----------------------------------------------------------
 
 

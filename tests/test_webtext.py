@@ -344,3 +344,44 @@ def test_crawl_delta_statuses(spark):
         for r in crawl_delta(old.repartition(5), new.repartition(3)).collect()
     }
     assert again == got
+
+
+def test_lang_ngram_six_languages_and_und(spark):
+    """Char-trigram language ID: one natural sentence per profile
+    language classifies correctly; junk and NULL fall to 'und'; the
+    projection is zero-shuffle."""
+    from pyspark.sql import functions as F
+
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import lang_ngram
+
+    rows = [
+        ("en", "The meaning of the information and the running of things."),
+        ("de", "Der Unterschied zwischen der Einrichtung und dem Licht ist nicht wichtig."),
+        ("fr", "Les questions et les chaleurs que des entiers auront toujours."),
+        ("es", "La nación quiere que los colores hayan adelantado por completo."),
+        ("it", "Ogni persona che ha la dimensione della creazione per il colore."),
+        ("pt", "A criação de que os contos da paragem para a nação."),
+        ("und", "xqz kjv wfp zzz 123"),
+        ("und", None),
+    ]
+    df = spark.createDataFrame(rows, "expected string, text string")
+    out = lang_ngram(df)
+    assert all(r.lang_ngram == r.expected for r in out.collect())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # prefix bound: trigram evidence past prefix_chars is invisible
+    long = spark.createDataFrame(
+        [("x" * 2000 + " the and of the ing",)], "text string"
+    )
+    assert lang_ngram(long, prefix_chars=1000).collect()[0].lang_ngram == "und"
+
+
+def test_lang_ngram_tie_breaks_lexicographic(spark):
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import lang_ngram
+
+    # 'que'/' qu'/'ent' hit fr and pt equally (3 each, above es's 2):
+    # the lexicographically smaller code wins deterministically
+    df = spark.createDataFrame([("que ent",)], "text string")
+    r = lang_ngram(df, min_hits=2).collect()[0]
+    assert r.hits_fr == r.hits_pt == 3 and r.hits_es == 2
+    assert r.lang_ngram == "fr"
