@@ -321,6 +321,41 @@ def q_media_features(spark, sf_dir):
     return extract_features(media).select("media_id", "mime", "n_bytes")
 
 
+def q_image_near_dup(spark, sf_dir):
+    """Perceptual image near-dup end-to-end (rows-only by design —
+    the decode side is not SQL-expressible): the seeded decodable
+    media table's image rows, PLUS each PPM row re-encoded as PNG
+    (same pixels, different container), through decode -> 64-bit
+    dHash -> the shared pigeonhole banding. Every planted lossless
+    re-encode pair must come back at hamming 0; deterministic by
+    seed, so the row count is stable."""
+    from coap_rfc_knowledge_graph_spark.operators.multimodal import (
+        decode_backend,
+        encode_png,
+        image_near_duplicates,
+        sniff_mime,
+        synthetic_decodable_media,
+    )
+
+    media = synthetic_decodable_media(spark, 64).select("media_id", "payload")
+
+    import pandas as pd
+
+    def reencode(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                mime = sniff_mime(data)
+                if mime == "image/x-portable-pixmap":
+                    ids.append(int(mid) + 1_000_000)
+                    payloads.append(encode_png(decode_backend(data, mime)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    twins = media.mapInPandas(reencode, "media_id long, payload binary")
+    return image_near_duplicates(media.unionByName(twins), max_hamming=4)
+
+
 def q_media_decode_features(spark, sf_dir):
     """REAL multimodal decode end-to-end (rows-only by design — codec
     output is not SQL-expressible): 64 genuinely encoded payloads (PPM/
@@ -1750,6 +1785,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_topk": q_frontier_topk,
         "crawl_schedule": q_crawl_schedule,
         "lang_ngram": q_lang_ngram,
+        "image_near_dup": q_image_near_dup,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,

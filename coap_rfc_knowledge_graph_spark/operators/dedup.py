@@ -339,15 +339,36 @@ def simhash_near_duplicates(
     ceiling at 64 bits / 8-bit chunks is max_hamming <= 7; larger budgets
     need a different structure (embedding LSH or multi-index), not this
     operator with its guarantee quietly degraded."""
+    sim = docs.select(F.col(id_col).alias("doc_id"), simhash_expr_udf(bits)(F.col(text_col)).alias("sh"))
+    return hamming_near_duplicates(
+        sim, max_hamming, bits=bits, id_col="doc_id", hash_col="sh",
+        min_chunk_bits=min_chunk_bits,
+    )
+
+
+def hamming_near_duplicates(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    id_col: str = "doc_id",
+    hash_col: str = "sh",
+    min_chunk_bits: int = 8,
+) -> DataFrame:
+    """Generic pigeonhole banding over a PRECOMPUTED ``bits``-wide
+    fingerprint column: pairs at hamming distance <= max_hamming as
+    (doc_a, doc_b, hamming). The banding/verify engine behind
+    :func:`simhash_near_duplicates`, shared by the image dHash near-dup
+    in ``operators/multimodal.py`` — same guarantee, same scale guard
+    (see the simhash docstring for why chunks must stay wide)."""
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
     if chunk_bits < min_chunk_bits:
         raise ValueError(
-            f"simhash banding degenerates: {bits} bits / {chunks} chunks = "
+            f"hamming banding degenerates: {bits} bits / {chunks} chunks = "
             f"{chunk_bits}-bit chunks (< {min_chunk_bits}); cap max_hamming at "
             f"{bits // min_chunk_bits - 1} or pass a smaller min_chunk_bits explicitly"
         )
-    sim = docs.select(F.col(id_col).alias("doc_id"), simhash_expr_udf(bits)(F.col(text_col)).alias("sh"))
+    sim = hashes.select(F.col(id_col).alias("doc_id"), F.col(hash_col).alias("sh"))
     mask = (1 << chunk_bits) - 1
     banded = sim.select(
         "doc_id",
