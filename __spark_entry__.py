@@ -356,6 +356,41 @@ def q_image_near_dup(spark, sf_dir):
     return image_near_duplicates(media.unionByName(twins), max_hamming=4)
 
 
+def q_audio_near_dup(spark, sf_dir):
+    """Volume-invariant audio near-dup end-to-end (rows-only — the
+    decode side is not SQL-expressible): the seeded decodable table's
+    WAV rows plus each one re-encoded at half volume (envelope delta
+    signs unchanged) through decode -> envelope hash -> the shared
+    banding. Every planted quieter twin must return at hamming 0."""
+    import numpy as np
+    import pandas as pd
+
+    from coap_rfc_knowledge_graph_spark.operators.multimodal import (
+        audio_near_duplicates,
+        decode_backend,
+        encode_wav,
+        sniff_mime,
+        synthetic_decodable_media,
+    )
+
+    media = synthetic_decodable_media(spark, 64).select("media_id", "payload")
+
+    def reencode(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if sniff_mime(data) != "audio/wav":
+                    continue
+                samples = decode_backend(data, "audio/wav")
+                ids.append(int(mid) + 1_000_000)
+                payloads.append(encode_wav((samples // 2).astype(np.int16)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    twins = media.mapInPandas(reencode, "media_id long, payload binary")
+    return audio_near_duplicates(media.unionByName(twins), max_hamming=4)
+
+
 def q_media_decode_features(spark, sf_dir):
     """REAL multimodal decode end-to-end (rows-only by design — codec
     output is not SQL-expressible): 64 genuinely encoded payloads (PPM/
@@ -1786,6 +1821,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,
         "lang_ngram": q_lang_ngram,
         "image_near_dup": q_image_near_dup,
+        "audio_near_dup": q_audio_near_dup,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,

@@ -968,3 +968,80 @@ def image_near_duplicates(
         id_col="media_id",
         hash_col="dhash",
     )
+
+
+def audio_envelope_hash(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint: mono-mix (integer channel average),
+    mean-|amplitude| envelope over 65 equal windows, one bit per
+    adjacent-window increase — the audio analogue of
+    :func:`image_dhash` (sign-of-delta is invariant to volume scaling
+    and PCM re-encoding, the common crawl-duplicate transforms).
+    Integer end-to-end except the per-window means, which compare —
+    not subtract — so ties resolve identically everywhere. Signed
+    64-bit for BIGINT storage."""
+    mono = samples.astype(np.int64)
+    if mono.ndim == 2:
+        mono = mono.sum(axis=1) // mono.shape[1]
+    n = mono.size
+    windows = 65
+    env = np.zeros(windows, dtype=np.float64)
+    if n:
+        edges = (np.arange(windows + 1) * n) // windows
+        mags = np.abs(mono)
+        for i in range(windows):
+            lo, hi = edges[i], edges[i + 1]
+            if hi > lo:
+                env[i] = float(mags[lo:hi].sum()) / (hi - lo)
+    bits = env[:-1] < env[1:]
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def audio_hashes(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(media_id, mime, dhash) for decodable audio payloads (PCM WAV);
+    non-audio and corrupt payloads contribute no row. Zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mimes, hashes = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                mime = sniff_mime(data)
+                if not mime.startswith("audio/"):
+                    continue
+                try:
+                    samples = decode_backend(data, mime)
+                except Exception:
+                    continue
+                ids.append(int(mid))
+                mimes.append(mime)
+                hashes.append(audio_envelope_hash(samples))
+            yield pd.DataFrame({"media_id": ids, "mime": mimes, "dhash": hashes})
+
+    return media.select(id_col, payload_col).mapInPandas(fn, IMAGE_HASH_SCHEMA)
+
+
+def audio_near_duplicates(
+    media: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Volume-invariant audio near-dup: decode -> envelope-delta hash
+    -> the shared pigeonhole banding (``dedup.hamming_near_duplicates``)
+    -> exact bit_count verify. Same scale shape as the image/text
+    families: one decode pass, band equi-join, no pairwise scan."""
+    from .dedup import hamming_near_duplicates
+
+    return hamming_near_duplicates(
+        audio_hashes(media, id_col, payload_col),
+        max_hamming,
+        id_col="media_id",
+        hash_col="dhash",
+    )

@@ -79,3 +79,39 @@ def test_contract_image_near_dup_planted_twins(spark):
     rows = e.queries()["image_near_dup"](spark, "/root/testdata/sf0.001").collect()
     twins = {(r.doc_a, r.doc_b) for r in rows if r.doc_b == r.doc_a + 1_000_000}
     assert len(twins) == 8 and all(r.hamming == 0 for r in rows)
+
+
+def test_audio_hash_volume_invariant_and_near_dup(spark):
+    from coap_rfc_knowledge_graph_spark.operators.multimodal import (
+        audio_envelope_hash,
+        audio_near_duplicates,
+        encode_wav,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=9))
+    base = (rng.integers(-2000, 2000, size=(4000, 2))
+            * np.linspace(0.2, 1.8, 4000)[:, None]).astype(np.int16)
+    h = audio_envelope_hash(base)
+    # halving the volume preserves every envelope delta sign
+    assert audio_envelope_hash((base // 2).astype(np.int16)) == h
+    other = rng.integers(-2000, 2000, size=(4000, 2)).astype(np.int16)
+    assert bin((h ^ audio_envelope_hash(other)) & ((1 << 64) - 1)).count("1") > 8
+
+    rows = [
+        (0, bytearray(encode_wav(base))),
+        (1, bytearray(encode_wav((base // 2).astype(np.int16)))),  # quieter twin
+        (2, bytearray(encode_wav(other))),
+        (3, bytearray(b"not audio")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = audio_near_duplicates(media, max_hamming=4).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
+    assert pairs[0].hamming == 0
+
+
+def test_contract_audio_near_dup_planted_twins(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["audio_near_dup"](spark, "/root/testdata/sf0.001").collect()
+    twins = {(r.doc_a, r.doc_b) for r in rows if r.doc_b == r.doc_a + 1_000_000}
+    assert len(twins) == 8 and all(r.hamming == 0 for r in rows)
