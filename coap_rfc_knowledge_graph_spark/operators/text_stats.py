@@ -449,3 +449,47 @@ def script_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.length(t).cast("long").alias("n_chars"),
         main.alias("main_script"),
     )
+
+
+# --- compression-ratio quality ------------------------------------------------
+
+
+def compression_ratio_udf(level: int = 6):
+    """Arrow-batched scalar UDF: permille zlib compression ratio of the
+    UTF-8 text (compressed_size * 1000 // raw_size; NULL for NULL/empty
+    text). Repetitive boilerplate compresses far below natural prose —
+    the Gopher/Dolma-class quality signal the repetition_stats n-gram
+    fractions approximate natively. Integer output (exact given zlib's
+    deterministic output at a fixed level); rows-only in the contract
+    because no SQL engine exposes zlib, parity-tested against direct
+    zlib calls in tests."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def ratio(texts):
+        out = []
+        for t in texts:
+            if t is None or t == "":
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(len(zlib.compress(raw, level)) * 1000 // len(raw))
+        return pd.Series(out, dtype="Int64")
+
+    # real annotation objects, not strings: this module's
+    # `from __future__ import annotations` would stringify inline hints
+    # and pandas_udf's eval-type inference cannot resolve them here
+    ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(ratio, "long")
+
+
+def compression_ratio(
+    docs: DataFrame, text_col: str = "text", level: int = 6, out_col: str = "zlib_permille"
+) -> DataFrame:
+    """Adds ``out_col``: permille zlib-compressed size of the text.
+    Low values flag machine-generated repetition (keep-gates typically
+    drop below ~300 permille); one Arrow-batched projection, zero
+    shuffle."""
+    return docs.withColumn(out_col, compression_ratio_udf(level)(F.col(text_col)))

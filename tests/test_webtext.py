@@ -385,3 +385,29 @@ def test_lang_ngram_tie_breaks_lexicographic(spark):
     r = lang_ngram(df, min_hits=2).collect()[0]
     assert r.hits_fr == r.hits_pt == 3 and r.hits_es == 2
     assert r.lang_ngram == "fr"
+
+
+def test_compression_ratio_parity_and_signal(spark):
+    """zlib permille matches direct zlib; repetitive text scores far
+    below prose; NULL/empty stay NULL; zero shuffle."""
+    import zlib
+
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import compression_ratio
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "wizards brew quince jelly behind the opaque glass furnace."
+    )
+    spam = "buy now " * 200
+    rows = [(0, prose), (1, spam), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = compression_ratio(df)
+    got = {r.doc_id: r.zlib_permille for r in out.collect()}
+    for i, t in rows:
+        expect = (
+            None if not t else len(zlib.compress(t.encode(), 6)) * 1000 // len(t.encode())
+        )
+        assert got[i] == expect, i
+    assert got[1] < 100 < got[0]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
