@@ -356,6 +356,15 @@ def q_image_near_dup(spark, sf_dir):
     return image_near_duplicates(media.unionByName(twins), max_hamming=4)
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib-permille quality signal over documents (rows-only — no SQL
+    engine exposes zlib; pure-Python parity in tests/test_webtext.py).
+    One Arrow-batched pandas UDF projection, zero shuffle."""
+    from coap_rfc_knowledge_graph_spark.operators.text_stats import compression_ratio
+
+    return compression_ratio(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 def q_audio_near_dup(spark, sf_dir):
     """Volume-invariant audio near-dup end-to-end (rows-only — the
     decode side is not SQL-expressible): the seeded decodable table's
@@ -1822,6 +1831,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_ngram": q_lang_ngram,
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,
+        "compression_ratio": q_compression_ratio,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,
