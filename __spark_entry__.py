@@ -356,6 +356,39 @@ def q_image_near_dup(spark, sf_dir):
     return image_near_duplicates(media.unionByName(twins), max_hamming=4)
 
 
+def q_kg_provenance_merge(spark, sf_dir):
+    """Incremental KG maintenance end-to-end: two crawl batches with
+    DISJOINT source ids (prefixes a-/b-) each aggregate to a
+    provenance table (the two-level salted shape), then merge in one
+    full-outer join — support and n_sources add, the K source sample
+    merges exactly. Facts overlap across batches by construction
+    (same fact arithmetic, different doc ranges), so the merge
+    exercises matched, old-only and delta-only rows."""
+    from coap_rfc_knowledge_graph_spark.operators.provenance import (
+        merge_provenance,
+        triple_provenance,
+    )
+
+    d = F.col("doc_id")
+
+    def sightings(tbl, prefix, modulus):
+        return tbl.select(
+            (d % 211).cast("long").alias("subj"),
+            F.concat(F.lit("p"), (d % 5).cast("string")).alias("pred"),
+            ((d * 7 + 1) % 211).cast("long").alias("obj"),
+            F.concat(F.lit(prefix), (d % modulus).cast("string")).alias("url"),
+        ).filter(F.col("subj") != F.col("obj"))
+
+    docs = _t(spark, sf_dir, "documents")
+    old = triple_provenance(sightings(docs.filter(d % 3 != 0), "a-u", 57), k_sources=5)
+    delta = triple_provenance(sightings(docs.filter(d % 3 == 0), "b-u", 41), k_sources=5)
+    merged = merge_provenance(old, delta, k_sources=5)
+    return merged.select(
+        "subj", "pred", "obj", "support", "n_sources",
+        F.array_join("sources", ",").alias("sources"),
+    )
+
+
 def q_compression_ratio(spark, sf_dir):
     """zlib-permille quality signal over documents (rows-only — no SQL
     engine exposes zlib; pure-Python parity in tests/test_webtext.py).
@@ -1832,6 +1865,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,
         "compression_ratio": q_compression_ratio,
+        "kg_provenance_merge": q_kg_provenance_merge,
         "nsp_pairs": q_nsp_pairs,
         "mlm_examples": q_mlm_examples,
         "pack_sequences": q_pack_sequences,
@@ -3757,6 +3791,41 @@ def oracle_sql() -> dict[str, str]:
               FROM ranked WHERE rk <= 5 GROUP BY dst
             )
             SELECT dst, n_links, n_anchors, top_anchors FROM stats JOIN top USING (dst)
+        """,
+        "kg_provenance_merge": """
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(doc_id % 211 AS BIGINT) AS subj,
+                     'p' || CAST(doc_id % 5 AS VARCHAR) AS pred,
+                     CAST((doc_id * 7 + 1) % 211 AS BIGINT) AS obj
+              FROM documents
+              WHERE doc_id % 211 <> (doc_id * 7 + 1) % 211
+            ),
+            old AS (
+              SELECT subj, pred, obj, COUNT(*) AS support,
+                     COUNT(DISTINCT 'a-u' || CAST(doc_id % 57 AS VARCHAR)) AS n_sources,
+                     list_slice(list_sort(list(DISTINCT 'a-u' || CAST(doc_id % 57 AS VARCHAR))), 1, 5) AS sources
+              FROM s WHERE doc_id % 3 <> 0 GROUP BY subj, pred, obj
+            ),
+            delta AS (
+              SELECT subj, pred, obj, COUNT(*) AS support,
+                     COUNT(DISTINCT 'b-u' || CAST(doc_id % 41 AS VARCHAR)) AS n_sources,
+                     list_slice(list_sort(list(DISTINCT 'b-u' || CAST(doc_id % 41 AS VARCHAR))), 1, 5) AS sources
+              FROM s WHERE doc_id % 3 = 0 GROUP BY subj, pred, obj
+            )
+            SELECT COALESCE(o.subj, d.subj) AS subj,
+                   COALESCE(o.pred, d.pred) AS pred,
+                   COALESCE(o.obj, d.obj) AS obj,
+                   COALESCE(o.support, 0) + COALESCE(d.support, 0) AS support,
+                   COALESCE(o.n_sources, 0) + COALESCE(d.n_sources, 0) AS n_sources,
+                   array_to_string(
+                     list_slice(
+                       list_sort(list_distinct(
+                         COALESCE(o.sources, []) || COALESCE(d.sources, [])
+                       )), 1, 5),
+                     ',') AS sources
+            FROM old o FULL OUTER JOIN delta d
+              ON o.subj = d.subj AND o.pred = d.pred AND o.obj = d.obj
         """,
         "triple_provenance": """
             WITH s AS (

@@ -70,3 +70,52 @@ def triple_provenance(
             "sources"
         ),
     )
+
+
+def merge_provenance(
+    old: DataFrame, delta: DataFrame, k_sources: int = 5
+) -> DataFrame:
+    """Incremental KG maintenance: merge a NEW batch's provenance table
+    into the standing graph in one full-outer equi-join on the fact key
+    — O(|old| + |delta|), no re-scan of historical sightings (the
+    O(delta) story ``webtext.crawl_delta`` starts, finished at the
+    graph table).
+
+    Exactness contract: ``support`` adds exactly always. ``n_sources``
+    adds exactly when the two tables' per-fact source sets are
+    DISJOINT — true for crawl-snapshot batches whose source ids embed
+    the crawl id (the layout ``jobs/run_pipeline.py`` produces); for
+    overlapping batches re-aggregate from sightings instead, a
+    distinct count is not mergeable from summaries. The K-slice
+    ``sources`` sample merges EXACTLY regardless: every member of the
+    union's lexicographic first-K is in one side's first-K, so
+    first-K(first-K(a) ∪ first-K(b)) = first-K(a ∪ b)."""
+    empty = F.array().cast("array<string>")
+    o = old.select(
+        "subj", "pred", "obj",
+        F.col("support").alias("__os"),
+        F.col("n_sources").alias("__on"),
+        F.col("sources").alias("__osrc"),
+    )
+    d = delta.select(
+        "subj", "pred", "obj",
+        F.col("support").alias("__ds"),
+        F.col("n_sources").alias("__dn"),
+        F.col("sources").alias("__dsrc"),
+    )
+    return o.join(d, ["subj", "pred", "obj"], "full_outer").select(
+        "subj",
+        "pred",
+        "obj",
+        (F.coalesce("__os", F.lit(0)) + F.coalesce("__ds", F.lit(0))).alias("support"),
+        (F.coalesce("__on", F.lit(0)) + F.coalesce("__dn", F.lit(0))).alias("n_sources"),
+        F.slice(
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(F.coalesce("__osrc", empty), F.coalesce("__dsrc", empty))
+                )
+            ),
+            1,
+            k_sources,
+        ).alias("sources"),
+    )

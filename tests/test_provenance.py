@@ -79,3 +79,59 @@ def test_driver_oracle_matches_duckdb(spark):
     pdf = con.execute(entry.oracle_sql()["triple_provenance"]).df()
     want = sorted(tuple(str(row[c]) for c in cols) for _, row in pdf.iterrows())
     assert got == want
+
+
+def test_merge_provenance_matched_and_one_sided(spark):
+    from coap_rfc_knowledge_graph_spark.operators.provenance import merge_provenance
+
+    schema = "subj long, pred string, obj long, support long, n_sources long, sources array<string>"
+    old = spark.createDataFrame(
+        [
+            (1, "p", 2, 10, 3, ["a1", "a2", "a9"]),
+            (3, "p", 4, 1, 1, ["a5"]),
+        ],
+        schema,
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, "p", 2, 4, 2, ["b0", "b7"]),
+            (5, "q", 6, 2, 1, ["b1"]),
+        ],
+        schema,
+    )
+    got = {(r.subj, r.pred, r.obj): r for r in merge_provenance(old, delta, k_sources=4).collect()}
+    assert set(got) == {(1, "p", 2), (3, "p", 4), (5, "q", 6)}
+    m = got[(1, "p", 2)]
+    # support/n_sources add; first-K of the union is exact
+    assert (m.support, m.n_sources) == (14, 5)
+    assert m.sources == ["a1", "a2", "a9", "b0"]
+    assert (got[(3, "p", 4)].support, got[(3, "p", 4)].sources) == (1, ["a5"])
+    assert (got[(5, "q", 6)].n_sources, got[(5, "q", 6)].sources) == (1, ["b1"])
+
+
+def test_merge_provenance_first_k_exactness_property(spark):
+    """first-K(first-K(a) ∪ first-K(b)) == first-K(a ∪ b) — the claim
+    the docstring makes, checked against brute force over random-ish
+    deterministic source sets."""
+    from coap_rfc_knowledge_graph_spark.operators.provenance import (
+        merge_provenance,
+        triple_provenance,
+    )
+    from pyspark.sql import functions as F
+
+    i = F.col("id")
+    a = spark.range(300).select(
+        F.lit(1).alias("subj"), F.lit("p").alias("pred"), F.lit(2).alias("obj"),
+        F.concat(F.lit("s"), F.pmod(i * 48271, F.lit(97)).cast("string")).alias("url"),
+    )
+    b = spark.range(300).select(
+        F.lit(1).alias("subj"), F.lit("p").alias("pred"), F.lit(2).alias("obj"),
+        F.concat(F.lit("t"), F.pmod(i * 16807, F.lit(89)).cast("string")).alias("url"),
+    )
+    merged = merge_provenance(
+        triple_provenance(a, k_sources=5), triple_provenance(b, k_sources=5), k_sources=5
+    ).collect()[0]
+    brute = sorted({f"s{(j * 48271) % 97}" for j in range(300)}
+                   | {f"t{(j * 16807) % 89}" for j in range(300)})[:5]
+    assert merged.sources == brute
+    assert merged.n_sources == 97 + 89
