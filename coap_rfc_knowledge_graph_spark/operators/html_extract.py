@@ -350,10 +350,10 @@ def anchor_text_stats(edges: DataFrame, k_anchors: int = 5) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     order = [F.desc("cnt"), F.asc("anchor")]
+    # already cut to k_anchors per dst (rk is the within-key rank)
     ranked = two_level_topk_per_key(counts, ["dst"], order, k_anchors, rank_col="rk")
     top = (
-        ranked.filter(F.col("rk") <= k_anchors)
-        .groupBy("dst")
+        ranked.groupBy("dst")
         .agg(
             F.concat_ws(
                 ",",

@@ -915,14 +915,15 @@ IMAGE_HASH_SCHEMA = T.StructType(
 )
 
 
-def image_hashes(
-    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+def _media_hashes(
+    media: DataFrame, mime_prefix: str, hash_fn, id_col: str, payload_col: str
 ) -> DataFrame:
-    """(media_id, mime, dhash) for every payload the repo's own codecs
-    decode to pixels (PNM/BMP/PNG/JPEG/GIF). Non-image and
-    undecodable payloads contribute no row — a corrupt file must cost
-    its own hash, not the task. Column-pruned mapInPandas, zero
-    shuffle."""
+    """Shared decode->hash scaffold for the perceptual dedup family:
+    (media_id, mime, dhash) for every payload whose sniffed mime
+    matches ``mime_prefix`` and that ``decode_backend`` handles.
+    Non-matching and undecodable payloads contribute no row — a
+    corrupt file must cost its own hash, not the task. Column-pruned
+    mapInPandas, zero shuffle."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -932,18 +933,26 @@ def image_hashes(
                     continue
                 data = bytes(payload)
                 mime = sniff_mime(data)
-                if not mime.startswith("image/"):
+                if not mime.startswith(mime_prefix):
                     continue
                 try:
-                    img = decode_backend(data, mime)
+                    decoded = decode_backend(data, mime)
                 except Exception:
                     continue
                 ids.append(int(mid))
                 mimes.append(mime)
-                hashes.append(image_dhash(img))
+                hashes.append(hash_fn(decoded))
             yield pd.DataFrame({"media_id": ids, "mime": mimes, "dhash": hashes})
 
     return media.select(id_col, payload_col).mapInPandas(fn, IMAGE_HASH_SCHEMA)
+
+
+def image_hashes(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(media_id, mime, dhash) for every payload the repo's own codecs
+    decode to pixels (PNM/BMP/PNG/JPEG/GIF)."""
+    return _media_hashes(media, "image/", image_dhash, id_col, payload_col)
 
 
 def image_near_duplicates(
@@ -1002,29 +1011,8 @@ def audio_envelope_hash(samples: np.ndarray) -> int:
 def audio_hashes(
     media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """(media_id, mime, dhash) for decodable audio payloads (PCM WAV);
-    non-audio and corrupt payloads contribute no row. Zero shuffle."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, mimes, hashes = [], [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                if payload is None:
-                    continue
-                data = bytes(payload)
-                mime = sniff_mime(data)
-                if not mime.startswith("audio/"):
-                    continue
-                try:
-                    samples = decode_backend(data, mime)
-                except Exception:
-                    continue
-                ids.append(int(mid))
-                mimes.append(mime)
-                hashes.append(audio_envelope_hash(samples))
-            yield pd.DataFrame({"media_id": ids, "mime": mimes, "dhash": hashes})
-
-    return media.select(id_col, payload_col).mapInPandas(fn, IMAGE_HASH_SCHEMA)
+    """(media_id, mime, dhash) for decodable audio payloads (PCM WAV)."""
+    return _media_hashes(media, "audio/", audio_envelope_hash, id_col, payload_col)
 
 
 def audio_near_duplicates(

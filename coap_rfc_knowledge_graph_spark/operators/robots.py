@@ -38,17 +38,14 @@ RULES_SCHEMA = T.StructType(
 )
 
 
-def parse_robots_text(text: str, agent: str = "*") -> list[tuple[bool, str]]:
-    """One robots.txt body -> [(allow, path_prefix)] for ``agent``.
-    Pure function (no Spark) so tests and the oracle side can call it.
-
-    Group semantics per RFC 9309: consecutive User-agent lines open a
-    group; the group applies if any of its agents is ``agent`` or '*'
-    (exact token match, case-insensitive); later Allow/Disallow lines
-    belong to the open group. An empty Disallow value means
-    allow-everything and contributes no rule. Wildcards are truncated
-    at the first '*' / trailing '$' (conservative literal prefix)."""
-    rules: list[tuple[bool, str]] = []
+def _iter_group_directives(text: str, agent: str = "*"):
+    """Yield ``(field, value, group_active)`` for every non-User-agent
+    directive line of a robots.txt body, tracking RFC 9309 group
+    semantics ONCE for every directive parser in this module
+    (consecutive User-agent lines open a group; the group applies if
+    any of its agents is ``agent`` or '*', exact token match,
+    case-insensitive; '#' comments run to end-of-line). Directives
+    before any User-agent line never yield group_active=True."""
     want = {agent.lower(), "*"}
     group_agents: list[str] = []
     group_active = False
@@ -66,7 +63,22 @@ def parse_robots_text(text: str, agent: str = "*") -> list[tuple[bool, str]]:
             group_active = bool(want & set(group_agents))
             continue
         in_agent_run = False
-        if field not in ("allow", "disallow") or not group_agents:
+        yield field, value, group_active and bool(group_agents)
+
+
+def parse_robots_text(text: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """One robots.txt body -> [(allow, path_prefix)] for ``agent``.
+    Pure function (no Spark) so tests and the oracle side can call it.
+
+    Group semantics per RFC 9309: consecutive User-agent lines open a
+    group; the group applies if any of its agents is ``agent`` or '*'
+    (exact token match, case-insensitive); later Allow/Disallow lines
+    belong to the open group. An empty Disallow value means
+    allow-everything and contributes no rule. Wildcards are truncated
+    at the first '*' / trailing '$' (conservative literal prefix)."""
+    rules: list[tuple[bool, str]] = []
+    for field, value, group_active in _iter_group_directives(text, agent):
+        if field not in ("allow", "disallow"):
             continue
         if not group_active:
             continue
@@ -95,23 +107,7 @@ def parse_crawl_delay_text(text: str, agent: str = "*") -> int | None:
     import re
 
     best: int | None = None
-    want = {agent.lower(), "*"}
-    group_agents: list[str] = []
-    group_active = False
-    in_agent_run = False
-    for raw in text.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
-            continue
-        field, _, value = line.partition(":")
-        field, value = field.strip().lower(), value.strip()
-        if field == "user-agent":
-            if not in_agent_run:
-                group_agents, in_agent_run = [], True
-            group_agents.append(value.lower())
-            group_active = bool(want & set(group_agents))
-            continue
-        in_agent_run = False
+    for field, value, group_active in _iter_group_directives(text, agent):
         if field != "crawl-delay" or not group_active:
             continue
         m = re.fullmatch(r"(\d+)(?:\.(\d+))?", value)
@@ -177,16 +173,13 @@ def parse_sitemap_urls(
                     else str(payload)
                 )
                 seen: set[str] = set()
-                for raw in text.splitlines():
-                    line = raw.split("#", 1)[0].strip()
-                    field, sep, value = line.partition(":")
-                    if not sep or field.strip().lower() != "sitemap":
+                # group-independent: ignore the active flag entirely
+                for field, value, _ in _iter_group_directives(text):
+                    if field != "sitemap" or not value or value in seen:
                         continue
-                    value = value.strip()
-                    if value and value not in seen:
-                        seen.add(value)
-                        hosts.append(host)
-                        urls.append(value)
+                    seen.add(value)
+                    hosts.append(host)
+                    urls.append(value)
             yield pd.DataFrame({"host": hosts, "sitemap_url": urls})
 
     return robots.select(host_col, payload_col).mapInPandas(

@@ -204,12 +204,14 @@ def ivf_topk(
     q = queries.select(F.col(query_id).alias("query_id"), unit_expr(F.col(query_vec)).alias("qv"))
     q_cells = q.withColumn("cell", F.explode(probe_udf(F.col("qv"))))
     scored = c_cells.join(q_cells, on="cell").withColumn("cosine", dot_expr("cv", "qv"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", F.col("cosine").cast("double").alias("cosine"))
-    )
+    # a probed cell holds a corpus-fraction of vectors, so the per-query
+    # candidate set grows with the corpus: two-level cut, not a window
+    # (same swap as ivf_topk_native / cosine_topk)
+    from ..functions.ranking import two_level_topk_per_key
+
+    return two_level_topk_per_key(
+        scored, ["query_id"], [F.desc("cosine"), F.asc("vec_id")], k, rank_col="rank"
+    ).select("query_id", "rank", "vec_id", F.col("cosine").cast("double").alias("cosine"))
 
 
 def ivf_topk_native(

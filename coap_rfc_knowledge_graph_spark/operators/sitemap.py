@@ -87,18 +87,21 @@ def _entries_from_tree(root: ET.Element) -> list[_Entry]:
         kind = "url" if name == "url" else "sitemap"
         loc = lastmod = changefreq = None
         priority = None
+        # first occurrence wins for every field — matching the regex
+        # fallback, so a malformation elsewhere in the file cannot flip
+        # which value a duplicated field yields
         for field in child:
             fname = _localname(field.tag)
             text = (field.text or "").strip()
             if not text:
                 continue
-            if fname == "loc":
+            if fname == "loc" and loc is None:
                 loc = text
-            elif fname == "lastmod":
+            elif fname == "lastmod" and lastmod is None:
                 lastmod = text
-            elif fname == "changefreq" and text.lower() in _CHANGEFREQS:
+            elif fname == "changefreq" and changefreq is None and text.lower() in _CHANGEFREQS:
                 changefreq = text.lower()
-            elif fname == "priority":
+            elif fname == "priority" and priority is None:
                 priority = _priority_millis(text)
         if loc:
             # index pointers carry no changefreq/priority per the protocol

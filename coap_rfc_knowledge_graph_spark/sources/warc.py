@@ -281,50 +281,69 @@ def write_wet(
     Filenames are partition-id-derived, so a retried task OVERWRITES
     its own file rather than duplicating records — idempotent locally;
     a production object-store deployment fronts this with the usual
-    temp-name + commit rename.
+    temp-name + commit rename. ``out_dir`` must be a filesystem every
+    executor can reach (shared mount / fuse'd object store) — each
+    task creates it and writes its own segment with plain file IO;
+    records stream to disk as they are framed, so executor memory
+    stays O(one record), not O(segment).
+
+    Timestamps: Arrow hands the worker SESSION-LOCAL NAIVE datetimes
+    (Spark renders timestamps in ``spark.sql.session.timeZone`` and
+    drops the zone), so the session zone is captured on the driver and
+    each value is localized back to it before converting to the UTC
+    wall time WARC-Date requires — under a non-UTC session a naive
+    strftime would silently shift every exported timestamp.
     """
     import os
 
-    os.makedirs(out_dir, exist_ok=True)
+    tz = pages.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     ext = ".warc.wet.gz" if compress else ".warc.wet"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        os.makedirs(out_dir, exist_ok=True)
         fpath = os.path.join(out_dir, f"part-{pid:05d}{ext}")
-        buf = io.BytesIO()
+        fh = None
         n = 0
-        for pdf in batches:
-            for url, ts, text in zip(pdf[url_col], pdf[ts_col], pdf[text_col]):
-                if text is None or url is None:
-                    continue
-                # NULL timestamps arrive as pandas NaT, not None
-                when = datetime(1970, 1, 1) if pd.isna(ts) else ts.to_pydatetime()
-                if when.tzinfo is not None:
-                    when = when.astimezone(timezone.utc).replace(tzinfo=None)
-                payload = str(text).encode("utf-8")
-                # a url carrying CR/LF would inject header lines and
-                # break record framing (WARC forbids them in the
-                # target-URI, but an export sink must not trust crawled
-                # urls): percent-encode the two control bytes
-                safe_url = str(url).replace("\r", "%0D").replace("\n", "%0A")
-                head = (
-                    "WARC/1.0\r\n"
-                    "WARC-Type: conversion\r\n"
-                    f"WARC-Target-URI: {safe_url}\r\n"
-                    f"WARC-Date: {when.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
-                    "Content-Type: text/plain\r\n"
-                    f"Content-Length: {len(payload)}\r\n\r\n"
-                ).encode()
-                rec = head + payload + _CRLF2
-                buf.write(gzip.compress(rec, mtime=0) if compress else rec)
-                n += 1
-        if n:
-            with open(fpath, "wb") as fh:
-                fh.write(buf.getvalue())
+        try:
+            for pdf in batches:
+                for url, ts, text in zip(pdf[url_col], pdf[ts_col], pdf[text_col]):
+                    if text is None or url is None:
+                        continue
+                    # NULL timestamps arrive as pandas NaT, not None
+                    if pd.isna(ts):
+                        when = datetime(1970, 1, 1)
+                    else:
+                        t = pd.Timestamp(ts)
+                        t = t.tz_localize(tz) if t.tzinfo is None else t
+                        when = t.tz_convert("UTC").tz_localize(None).to_pydatetime()
+                    payload = str(text).encode("utf-8")
+                    # a url carrying CR/LF would inject header lines and
+                    # break record framing (WARC forbids them in the
+                    # target-URI, but an export sink must not trust
+                    # crawled urls): percent-encode the two control bytes
+                    safe_url = str(url).replace("\r", "%0D").replace("\n", "%0A")
+                    head = (
+                        "WARC/1.0\r\n"
+                        "WARC-Type: conversion\r\n"
+                        f"WARC-Target-URI: {safe_url}\r\n"
+                        f"WARC-Date: {when.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+                        "Content-Type: text/plain\r\n"
+                        f"Content-Length: {len(payload)}\r\n\r\n"
+                    ).encode()
+                    rec = head + payload + _CRLF2
+                    if fh is None:
+                        fh = open(fpath, "wb")
+                    fh.write(gzip.compress(rec, mtime=0) if compress else rec)
+                    n += 1
+            n_bytes = fh.tell() if fh is not None else 0
+        finally:
+            if fh is not None:
+                fh.close()
         yield pd.DataFrame(
-            [(fpath if n else None, n, buf.getbuffer().nbytes)],
+            [(fpath if n else None, n, n_bytes)],
             columns=["path", "n_records", "n_bytes"],
         )
 

@@ -281,10 +281,15 @@ def main() -> None:
         if args.frontier is not None:
             from coap_rfc_knowledge_graph_spark.operators.frontier import crawl_frontier
 
+            # host_ranks iterations are part of the frontier's identity:
+            # a frontier computed from 2-iteration ranks must not be
+            # reused for a --host-ranks 50 run (StageStore compares
+            # params only — same convention as prepass digests)
             fr_params = {
                 "frontier": True,
                 "k": args.frontier,
                 "with_ranks": args.host_ranks is not None,
+                "rank_iterations": args.host_ranks,
             }
             if not lg_store.has("frontier", params=fr_params):
                 ranks = (

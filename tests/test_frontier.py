@@ -94,7 +94,11 @@ def test_job_frontier_stage(spark, tmp_path):
     from coap_rfc_knowledge_graph_spark.plans.checkpointing import StageStore
 
     store = StageStore(out)
-    assert store.has("frontier", params={"frontier": True, "k": 3, "with_ranks": True})
+    fr_params = {"frontier": True, "k": 3, "with_ranks": True, "rank_iterations": 2}
+    assert store.has("frontier", params=fr_params)
+    # the rank iteration count is part of the stage identity: a frontier
+    # built from different host_ranks must not be reused
+    assert not store.has("frontier", params={**fr_params, "rank_iterations": 50})
     got = store.read(spark, "frontier").collect()
     # peer links point at crawled pages (excluded); all 8 c.example
     # leaves tie on inlinks (3 each), shallow beats deep via -depth,

@@ -372,3 +372,27 @@ def test_write_wet_sanitizes_crlf_in_url(spark, tmp_path):
     assert len(recs) == 1
     url, _, body = recs[0]
     assert "%0D%0A" in url and "\r" not in url and body == b"body"
+
+
+def test_write_wet_correct_under_non_utc_session(spark, tmp_path):
+    """Arrow hands the worker session-local naive datetimes; the sink
+    must localize back before stamping WARC-Date, or every exported
+    timestamp shifts by the session offset."""
+    from coap_rfc_knowledge_graph_spark.sources.warc import write_wet
+
+    instant = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    pages = spark.createDataFrame(
+        [("https://a.example/x", instant, "t")],
+        "url string, warc_ts timestamp, text string",
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")  # UTC+9, no DST
+        out = str(tmp_path / "wet_tz")
+        manifest = write_wet(pages.coalesce(1), out).collect()
+        path = next(r.path for r in manifest if r.path)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    with open(path, "rb") as fh:
+        (url, ts, body), = parse_warc(fh.read(), record_types=("conversion",))
+    assert ts == instant  # NOT 21:00Z
