@@ -290,6 +290,9 @@ def main() -> None:
                 "k": args.frontier,
                 "with_ranks": args.host_ranks is not None,
                 "rank_iterations": args.host_ranks,
+                # scheduling folds Crawl-delay from the --robots table in;
+                # its presence changes the stage's columns and values
+                "scheduled": bool(args.robots),
             }
             if not lg_store.has("frontier", params=fr_params):
                 ranks = (
@@ -303,6 +306,19 @@ def main() -> None:
                     ranks,
                     k=args.frontier,
                 )
+                if args.robots:
+                    # politeness scheduling from the same robots table
+                    # the compliance gate reads: fetch_at_ms spaces each
+                    # host's fetches Crawl-delay apart in priority order
+                    from coap_rfc_knowledge_graph_spark.operators.frontier import (
+                        schedule_fetches,
+                    )
+                    from coap_rfc_knowledge_graph_spark.operators.robots import (
+                        parse_crawl_delays,
+                    )
+
+                    delays = parse_crawl_delays(spark.read.parquet(args.robots))
+                    frontier = schedule_fetches(frontier, delays)
                 lg_store.write(
                     frontier,
                     "frontier",

@@ -94,7 +94,8 @@ def test_job_frontier_stage(spark, tmp_path):
     from coap_rfc_knowledge_graph_spark.plans.checkpointing import StageStore
 
     store = StageStore(out)
-    fr_params = {"frontier": True, "k": 3, "with_ranks": True, "rank_iterations": 2}
+    fr_params = {"frontier": True, "k": 3, "with_ranks": True,
+                 "rank_iterations": 2, "scheduled": False}
     assert store.has("frontier", params=fr_params)
     # the rank iteration count is part of the stage identity: a frontier
     # built from different host_ranks must not be reused
@@ -192,3 +193,43 @@ def test_zip_with_rank_per_key_equals_naive_window(spark):
         assert _rows(got.select("key", "ent", "idx")) == _rows(
             naive.select("key", "ent", "idx")
         ), parts
+
+
+def test_job_frontier_scheduled_with_robots(spark, tmp_path):
+    """--frontier + --robots: the stage folds Crawl-delay in —
+    fetch_at_ms spaces each host's fetches the declared delay apart."""
+    import os
+    import sys
+
+    def page(i):
+        html = "".join(
+            f'<a href="https://c.example/new{j}">n</a>' for j in range(4)
+        ).encode()
+        return (f"https://s{i % 2}.example/p{i % 6}", html, f"Doc {i} MUST parse.", "en")
+
+    src = str(tmp_path / "pages_src")
+    spark.createDataFrame([page(i) for i in range(12)],
+                          "url string, html binary, text string, lang string").write.parquet(src)
+    robots = str(tmp_path / "robots_src")
+    spark.createDataFrame(
+        [("c.example", b"User-agent: *\nCrawl-delay: 2.5\n")],
+        "host string, payload binary",
+    ).write.parquet(robots)
+    out = str(tmp_path / "state")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+    import run_pipeline
+
+    old = sys.argv
+    try:
+        sys.argv = ["run_pipeline.py", "--pages", src, "--out", out,
+                    "--frontier", "3", "--robots", robots]
+        run_pipeline.main()
+    finally:
+        sys.argv = old
+    from coap_rfc_knowledge_graph_spark.plans.checkpointing import StageStore
+
+    got = sorted(StageStore(out).read(spark, "frontier").collect(),
+                 key=lambda r: r.fetch_at_ms)
+    assert [r.fetch_at_ms for r in got] == [0, 2500, 5000]
+    assert all(r.delay_millis == 2500 and r.host == "c.example" for r in got)
