@@ -396,3 +396,51 @@ def test_write_wet_correct_under_non_utc_session(spark, tmp_path):
     with open(path, "rb") as fh:
         (url, ts, body), = parse_warc(fh.read(), record_types=("conversion",))
     assert ts == instant  # NOT 21:00Z
+
+
+def test_wet_roundtrip_property(spark, tmp_path):
+    """Property-style WET round trip: arbitrary printable urls/texts
+    (incl. unicode, newlines in text, CR/LF in urls) survive
+    write_wet -> parse_warc byte-exactly."""
+    import random
+    import string
+
+    rng = random.Random(42)
+    alphabet = string.printable + "äöüßéñ中文🙂"
+    # header-field values are whitespace-trimmed by every WARC parser
+    # (incl. ours), so urls avoid leading/trailing-strippable chars;
+    # CR/LF stay in to exercise the documented percent-encoding
+    url_alphabet = (
+        "".join(c for c in string.printable if not c.isspace()) + "äñ中\r\n"
+    )
+    rows = []
+    for i in range(40):
+        url = "https://f.example/" + "".join(
+            rng.choice(url_alphabet) for _ in range(rng.randint(0, 30))
+        )
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 200)))
+        rows.append((i, url, text))
+    pages = spark.createDataFrame(
+        [(u, datetime(2024, 1, 1, tzinfo=timezone.utc), t) for _, u, t in rows],
+        "url string, warc_ts timestamp, text string",
+    )
+    out = str(tmp_path / "wet_prop")
+    manifest = write_wet_import()(pages.repartition(3), out).collect()
+    got = []
+    for r in manifest:
+        if r.path:
+            with open(r.path, "rb") as fh:
+                got.extend(parse_warc(fh.read(), record_types=("conversion",)))
+    assert len(got) == 40
+    # texts survive byte-exactly; urls survive modulo the documented
+    # CR/LF percent-encoding
+    expect_texts = sorted(t for _, _, t in rows)
+    assert sorted(p.decode("utf-8") for _, _, p in got) == expect_texts
+    sanitize = lambda u: u.replace("\r", "%0D").replace("\n", "%0A")  # noqa: E731
+    assert sorted(u for u, _, _ in got) == sorted(sanitize(u) for _, u, _ in rows)
+
+
+def write_wet_import():
+    from coap_rfc_knowledge_graph_spark.sources.warc import write_wet
+
+    return write_wet
